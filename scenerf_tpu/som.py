@@ -1,0 +1,101 @@
+"""RaySOM: self-organizing-map EM update of the per-ray Gaussian mixture and the
+KL loss that pulls predicted (mean, std) toward the re-estimated ones.
+
+Contract: ref scenerf/models/ray_som_kl.py:10-92. The reference loops over
+proto pairs in Python (O(C^2) small loops); here everything is one batched
+einsum/gather pipeline -- no loops, fully fused by XLA, and identical numerics
+(all the 1e-5 / 1e-8 floors and >0.1 movement masks are reproduced).
+
+Gradients: only the final KL terms see the predicted means/stds; every EM
+quantity is computed under stop_gradient, exactly as the reference detaches.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RaySOMResult(NamedTuple):
+    loss_kl: jnp.ndarray    # [R]
+    new_means: jnp.ndarray  # [R, C]
+    new_vars: jnp.ndarray   # [R, C]
+
+
+def kl_gauss(m1: jnp.ndarray, m2: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray,
+             std_floor: float = 1.5) -> jnp.ndarray:
+    """KL(N(m1,s1) || N(m2,s2)) with target std floored
+    (ref ray_som_kl.py:81-87)."""
+    s2 = jnp.maximum(s2, std_floor)
+    std_err = jnp.log(s2 / s1 + 1e-8)
+    mean_err = (s1 ** 2 + (m1 - m2) ** 2) / (2.0 * s2 ** 2)
+    return std_err + mean_err - 0.5
+
+
+def ray_som(
+    gauss_means: jnp.ndarray,       # [R, C] predicted mixture means (with grad)
+    gauss_stds: jnp.ndarray,        # [R, C] predicted mixture stds (with grad)
+    sensor_distances: jnp.ndarray,  # [R, P] sorted sample distances
+    density: jnp.ndarray,           # [R, P] per-sample alphas (used as density)
+    som_sigma: float,
+    mask_threshold: float = 0.1,
+    std_floor: float = 1.5,
+) -> RaySOMResult:
+    sg = jax.lax.stop_gradient
+    m = sg(gauss_means)
+    s = sg(gauss_stds)
+    d = sg(sensor_distances)
+    dens = sg(density) + 1e-8
+
+    # |m_c - d_p| per ray: [R, P, C]
+    dist = jnp.abs(m[:, None, :] - d[:, :, None])
+
+    # SOM neighborhood weights between protos: [R, C2, C1]
+    rel_w = jnp.exp(-((m[:, :, None] - m[:, None, :]) ** 2) / (2.0 * som_sigma ** 2))
+    p_c1_given_c2 = rel_w / jnp.sum(rel_w, axis=2, keepdims=True)
+
+    # Gaussian likelihood of each sample under each proto, weighted by density
+    var = s ** 2
+    p_z_c1 = (
+        jnp.exp(-(dist ** 2) / (2.0 * var[:, None, :]))
+        / (math.sqrt(2.0 * math.pi) * s[:, None, :])
+        + 1e-5
+    )
+    p_z_c1 = p_z_c1 * dens[:, :, None] + 1e-8  # [R, P, C1]
+
+    # p(z | c2) = sum_c1 p(z | c1) p(c1 | c2); the reference adds 1e-8 inside
+    # the sum (ref :49), i.e. + C1 * 1e-8 after summation.
+    n_protos = m.shape[1]
+    p_z_c2 = jnp.einsum("rpc,rkc->rpk", p_z_c1, p_c1_given_c2) + n_protos * 1e-8
+
+    p_best = jnp.max(p_z_c2, axis=2)          # [R, P]
+    best = jnp.argmax(p_z_c2, axis=2)         # [R, P]
+
+    # rel weight of proto r to each sample's best-matching proto:
+    # w_rel[ray, c, p] = rel_w[ray, c, best[ray, p]]
+    w_rel = jnp.take_along_axis(
+        rel_w, jnp.broadcast_to(best[:, None, :], (m.shape[0], n_protos, best.shape[1])),
+        axis=2,
+    )  # [R, C, P]
+
+    w = w_rel * jnp.swapaxes(p_z_c1, 1, 2) / p_best[:, None, :] + 1e-5  # [R, C, P]
+    w_sum = jnp.sum(w, axis=2)
+    new_means = jnp.sum(w * d[:, None, :], axis=2) / w_sum               # [R, C]
+    new_vars = (
+        jnp.sum(w * (d[:, None, :] - new_means[..., None]) ** 2, axis=2) / w_sum
+    )
+
+    mean_diffs = jnp.abs(m - new_means)
+    var_diffs = jnp.abs(jnp.sqrt(var) - jnp.sqrt(new_vars))
+    # new_vars > 0 gates degenerate single-point assignments (ref :70-72)
+    mean_mask = (mean_diffs > mask_threshold) & (new_vars > 0)
+    var_mask = (var_diffs > mask_threshold) & (new_vars > 0)
+    mask = (mean_mask & var_mask).astype(gauss_means.dtype)
+
+    new_stds = jnp.sqrt(new_vars)
+    loss = kl_gauss(gauss_means, sg(new_means), gauss_stds, sg(new_stds), std_floor)
+    loss_kl = jnp.mean(loss * mask, axis=1)
+
+    return RaySOMResult(loss_kl=loss_kl, new_means=new_means, new_vars=new_vars)

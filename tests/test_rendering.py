@@ -1,0 +1,147 @@
+"""Rendering-core tests: compositing parity vs a torch oracle, featurization
+shapes, and chunked-vs-block consistency of render_rays."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from scenerf_tpu import config as C
+from scenerf_tpu import rendering as R
+from scenerf_tpu.fields import ResnetFC
+
+
+def torch_composite_oracle(density, sd, dv, colors):
+    """Independent torch implementation of the reference compositing math
+    (contract: ref scenerf.py:704-748)."""
+    sd = torch.clamp(sd, min=0)
+    deltas = torch.zeros_like(sd)
+    deltas[:, 0] = sd[:, 0]
+    deltas[:, 1:] = sd[:, 1:] - sd[:, :-1]
+    alphas = 1 - torch.exp(-deltas * density)
+    shifted = torch.cat([torch.ones_like(alphas[:, :1]), 1 - alphas + 1e-10], -1)
+    T = torch.cumprod(shifted, -1)
+    weights = alphas * T[:, :-1]
+    depth = torch.sum(weights * dv, -1)
+    color = torch.sum(weights.unsqueeze(-1) * colors, -2)
+    return depth, color, alphas, weights
+
+
+def test_composite_matches_oracle(rng):
+    Rn, P = 7, 20
+    density = rng.uniform(0, 2, size=(Rn, P)).astype(np.float32)
+    sd = np.sort(rng.uniform(0.2, 100, size=(Rn, P)).astype(np.float32), axis=1)
+    dv = sd * 0.97
+    colors = rng.uniform(0, 1, size=(Rn, P, 3)).astype(np.float32)
+
+    out = R.composite(jnp.asarray(density), jnp.asarray(sd), jnp.asarray(dv),
+                      jnp.asarray(colors))
+    td, tc, ta, tw = torch_composite_oracle(
+        torch.from_numpy(density), torch.from_numpy(sd),
+        torch.from_numpy(dv), torch.from_numpy(colors))
+
+    np.testing.assert_allclose(np.asarray(out["depth"]), td.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["color"]), tc.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["alphas"]), ta.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["weights"]), tw.numpy(), rtol=1e-4, atol=1e-6)
+    # weights_at_depth is the weight of the sample closest to the rendered depth
+    idx = np.abs(out["depth"][:, None] - dv).argmin(1)
+    np.testing.assert_allclose(
+        np.asarray(out["weights_at_depth"]), tw.numpy()[np.arange(Rn), idx], rtol=1e-4)
+
+
+def test_composite_opaque_wall():
+    # huge density at one sample -> depth collapses to that sample
+    sd = jnp.asarray([[1.0, 5.0, 10.0, 20.0]])
+    dv = sd
+    density = jnp.asarray([[0.0, 1000.0, 0.0, 0.0]])
+    colors = jnp.zeros((1, 4, 3)).at[0, 1].set(jnp.asarray([1.0, 0.0, 0.0]))
+    out = R.composite(density, sd, dv, colors)
+    np.testing.assert_allclose(float(out["depth"][0]), 5.0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["color"][0]), [1, 0, 0], atol=1e-3)
+
+
+def _toy_setup(seed=0):
+    cfg = C.tiny()
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+    sphere = cfg.sphere
+    levels = []
+    chans = (8, 8, 16, 16, 32)
+    for i, s in enumerate(R.SCALES):
+        H, W = R.pyramid_level_size(sphere, s)
+        levels.append(jax.random.normal(ks[i], (H, W, chans[i])) * 0.1)
+    pyramid = R.FeaturePyramid(levels=tuple(levels))
+    d_latent = sum(chans)
+
+    K = jnp.asarray([[60.0, 0, 32.0], [0, 60.0, 24.0], [0, 0, 1.0]])
+    T = jnp.eye(4).at[2, 3].set(0.3)
+
+    mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden)
+    mlp_g = ResnetFC(d_out=2, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden)
+    zd = jnp.zeros((1, d_latent))
+    xd = jnp.zeros((1, cfg.d_in))
+    p1 = mlp.init(ks[5], zd, xd)
+    p2 = mlp_g.init(ks[6], zd, xd)
+    field_fn = lambda z, x: mlp.apply(p1, z, x)
+    gauss_fn = lambda z, x: mlp_g.apply(p2, z, x)
+    return cfg, pyramid, K, T, field_fn, gauss_fn, ks[7]
+
+
+def test_render_rays_shapes_and_sanity():
+    cfg, pyramid, K, T, field_fn, gauss_fn, key = _toy_setup()
+    pixels = jnp.stack(
+        [jnp.linspace(2, 60, 32), jnp.linspace(2, 44, 32)], axis=-1)
+    out = R.render_rays(key, pixels, pyramid, K, T, field_fn, gauss_fn, cfg,
+                        ray_chunk=32)
+    P = cfg.n_pts_per_ray
+    assert out["depth"].shape == (32,)
+    assert out["color"].shape == (32, 3)
+    assert out["weights"].shape == (32, P)
+    assert out["gaussian_means"].shape == (32, cfg.n_gaussians)
+    assert out["loss_kl"].shape == (32,)
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all()
+    assert (d >= 0).all() and (d <= cfg.max_sample_depth * 1.1).all()
+    # weights sum <= 1
+    ws = np.asarray(out["weights"]).sum(-1)
+    assert (ws <= 1 + 1e-5).all()
+
+
+def test_render_rays_chunked_equals_blockwise():
+    cfg, pyramid, K, T, field_fn, gauss_fn, key = _toy_setup()
+    pixels = jnp.stack(
+        [jnp.linspace(2, 60, 64), jnp.linspace(2, 44, 64)], axis=-1)
+    out = R.render_rays(key, pixels, pyramid, K, T, field_fn, gauss_fn, cfg,
+                        ray_chunk=16)
+    # manual: same key split per block
+    keys = jax.random.split(key, 4)
+    inv_K = jnp.linalg.inv(K)
+    parts = [
+        R.render_ray_block(keys[i], pixels[i * 16:(i + 1) * 16], pyramid, K,
+                           inv_K, T, field_fn, gauss_fn, cfg)
+        for i in range(4)
+    ]
+    want = np.concatenate([np.asarray(p["depth"]) for p in parts])
+    np.testing.assert_allclose(np.asarray(out["depth"]), want, rtol=1e-3, atol=1e-3)
+
+
+def test_render_rays_gradients_finite():
+    cfg, pyramid, K, T, field_fn, gauss_fn, key = _toy_setup()
+    pixels = jnp.stack([jnp.linspace(2, 60, 16), jnp.linspace(2, 44, 16)], -1)
+
+    def loss_fn(levels):
+        pyr = R.FeaturePyramid(levels=levels)
+        out = R.render_rays(key, pixels, pyr, K, T, field_fn, gauss_fn, cfg,
+                            ray_chunk=16)
+        return out["depth"].mean() + out["color"].mean() + out["loss_kl"].mean()
+
+    g = jax.grad(loss_fn)(pyramid.levels)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_pad_rays():
+    pix = jnp.ones((10, 2))
+    padded, mask = R.pad_rays(pix, 8)
+    assert padded.shape == (16, 2)
+    assert int(mask.sum()) == 10
