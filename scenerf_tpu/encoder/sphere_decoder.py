@@ -1,0 +1,200 @@
+"""Spherical-grid U-Net decoder.
+
+The reference decoder (ref scenerf/models/unet2d_sphere.py:59-206) resamples
+every encoder skip level onto an equirectangular 'spherical' grid before
+upsampling, so the radiance field can be conditioned by angle rather than by
+pixel. The resampling works by building an inverse map sphere_cell -> source
+pixel via scatter (last write wins, sentinel -10 marks out-of-FOV cells, which
+then bilinear-sample zeros) and grid-sampling the feature map at the mapped
+coords (ref :138-165).
+
+TPU design notes:
+* the scatter map depends only on the camera intrinsics and is built once per
+  forward inside jit (a single jnp scatter; write order on duplicate cells is
+  backend-defined, matching the reference's own unspecified scatter order)
+* bilinear upsampling (align_corners=True, ref :49-54) is implemented as two
+  small dense interpolation matmuls (separable), which XLA maps straight onto
+  the MXU instead of a gather
+* convs/BN run batched NHWC on the spherical grid; BatchNorm syncs across the
+  data mesh axis via `axis_name` (the reference trains with sync BN,
+  ref train_kitti.py:130)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenerf_tpu.config import SphereConfig
+from scenerf_tpu import geometry as geo
+
+Levels = Dict[str, jnp.ndarray]
+
+SCALES = (1, 2, 4, 8, 16, 32)
+
+
+def level_hw(sphere: SphereConfig, scale: int) -> Tuple[int, int]:
+    return int(round(sphere.height / scale)), int(round(sphere.width / scale))
+
+
+def build_sphere_maps(
+    pix: jnp.ndarray,         # [N, 2] full-res image pixel coords
+    pix_sphere: jnp.ndarray,  # [N, 2] rounded full-res sphere coords
+    sphere: SphereConfig,
+) -> Dict[int, jnp.ndarray]:
+    """Inverse maps sphere_cell -> source pixel coords at every pyramid scale.
+
+    Returns {scale: [out_W, out_H, 2]} with sentinel -10 for unmapped cells
+    (ref unet2d_sphere.py:138-148). Kept W-major to mirror the reference's
+    flattening order.
+    """
+    maps = {}
+    for scale in SCALES:
+        out_H, out_W = level_hw(sphere, scale)
+        sx = jnp.clip(jnp.round(pix_sphere[:, 0] / scale).astype(jnp.int32), 0, out_W - 1)
+        sy = jnp.clip(jnp.round(pix_sphere[:, 1] / scale).astype(jnp.int32), 0, out_H - 1)
+        pix_scale = jnp.floor(pix / scale)  # ref uses float floor-division
+        base = jnp.full((out_W * out_H, 2), -10.0, dtype=pix.dtype)
+        maps[scale] = base.at[sx * out_H + sy].set(pix_scale).reshape(out_W, out_H, 2)
+    return maps
+
+
+def sphere_scatter_gather(feat: jnp.ndarray, sphere_map: jnp.ndarray) -> jnp.ndarray:
+    """Resample an image-space feature map [h, w, C] onto the spherical grid.
+
+    sphere_map: [out_W, out_H, 2] image pixel coords (sentinel -10 lands far
+    outside [-1, 1] after normalization and samples zeros, exactly like the
+    reference). Returns [out_H, out_W, C].
+    """
+    h, w, _ = feat.shape
+    out_W, out_H, _ = sphere_map.shape
+    flat = sphere_map.reshape(-1, 2)
+    grid = jnp.stack([flat[:, 0] / w, flat[:, 1] / h], axis=-1) * 2.0 - 1.0
+    vals = geo.grid_sample_norm(feat, grid)  # [out_W*out_H, C]
+    return jnp.swapaxes(vals.reshape(out_W, out_H, -1), 0, 1)
+
+
+def _interp_matrix_align_corners(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix with align_corners=True."""
+    if n_out == 1 or n_in == 1:
+        return jnp.ones((n_out, n_in), dtype) / n_in
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    M[np.arange(n_out), lo] += 1.0 - frac
+    M[np.arange(n_out), hi] += frac
+    return jnp.asarray(M, dtype)
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize (align_corners=True) of [..., H, W, C] via two matmuls."""
+    H, W = x.shape[-3], x.shape[-2]
+    out_H, out_W = out_hw
+    My = _interp_matrix_align_corners(H, out_H, x.dtype)
+    Mx = _interp_matrix_align_corners(W, out_W, x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", My, x)
+    return jnp.einsum("pw,...hwc->...hpc", Mx, x)
+
+
+class BasicBlock(nn.Module):
+    """Dilated residual conv block (ref unet2d_sphere.py:9-34)."""
+
+    channels: int
+    dilation: int
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                axis_name=self.axis_name if train else None,
+                                name=name)(h)
+
+        d = self.dilation
+        h = nn.Conv(self.channels, (3, 3), kernel_dilation=(d, d), padding="SAME",
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.leaky_relu(bn(h, "bn1"))
+        h = nn.Conv(self.channels, (3, 3), kernel_dilation=(d, d), padding="SAME",
+                    dtype=self.dtype, name="conv2")(h)
+        h = bn(h, "bn2")
+        return nn.leaky_relu(h + x)
+
+
+class UpSampleBN(nn.Module):
+    """Upsample-to-skip + concat + conv + 3 dilated residual blocks
+    (ref unet2d_sphere.py:37-56)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        up = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
+        h = jnp.concatenate([up, skip], axis=-1)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv")(h)
+        for i, d in enumerate((1, 2, 3)):
+            h = BasicBlock(self.channels, d, dtype=self.dtype,
+                           axis_name=self.axis_name, name=f"block{i}")(h, train=train)
+        return h
+
+
+class DecoderSphere(nn.Module):
+    """Scatter each tap onto the spherical grid, then upsample through the
+    pyramid (ref unet2d_sphere.py:59-206).
+
+    Produces levels {"1_1": F//32 ch, "1_2": F//16, "1_4": F//8, "1_8": F//4,
+    "1_16": F//2} on the spherical grid (channel-last, batched).
+    """
+
+    num_features: int
+    sphere: SphereConfig
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        taps: Dict[str, jnp.ndarray],   # batched [B, h, w, C] per tap
+        pix: jnp.ndarray,               # [N, 2]
+        pix_sphere: jnp.ndarray,        # [N, 2]
+        train: bool = False,
+    ) -> Levels:
+        F = self.num_features
+        maps = build_sphere_maps(pix, pix_sphere, self.sphere)
+
+        x32 = nn.Conv(F, (1, 1), dtype=self.dtype, name="conv2")(taps["s32"])
+
+        gather = jax.vmap(sphere_scatter_gather, in_axes=(0, None))
+        sph = {
+            1: gather(taps["s1"], maps[1]),
+            2: gather(taps["s2"], maps[2]),
+            4: gather(taps["s4"], maps[4]),
+            8: gather(taps["s8"], maps[8]),
+            16: gather(taps["s16"], maps[16]),
+            32: gather(x32, maps[32]),
+        }
+
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x_1_16 = UpSampleBN(F // 2, name="up16", **kw)(sph[32], sph[16], train=train)
+        x_1_8 = UpSampleBN(F // 4, name="up8", **kw)(x_1_16, sph[8], train=train)
+        x_1_4 = UpSampleBN(F // 8, name="up4", **kw)(x_1_8, sph[4], train=train)
+        x_1_2 = UpSampleBN(F // 16, name="up2", **kw)(x_1_4, sph[2], train=train)
+        x_1_1 = UpSampleBN(F // 32, name="up1", **kw)(x_1_2, sph[1], train=train)
+
+        return {"1_1": x_1_1, "1_2": x_1_2, "1_4": x_1_4, "1_8": x_1_8,
+                "1_16": x_1_16}
+
+
+def decoder_latent_dim(num_features: int) -> int:
+    """Concat width of all five levels = d_latent of the field MLP
+    (2480 for num_features=2560, ref scenerf.py:105)."""
+    return sum(num_features // k for k in (2, 4, 8, 16, 32))

@@ -1,0 +1,41 @@
+"""UNet2DSphere: backbone + spherical decoder (ref scenerf/models/unet2d_sphere.py:225-269).
+
+forward(img [B, H, W, 3], pix, pix_sphere) -> five spherical feature levels.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from scenerf_tpu.config import SphereConfig
+from scenerf_tpu.encoder.backbones import make_backbone
+from scenerf_tpu.encoder.sphere_decoder import DecoderSphere, decoder_latent_dim
+
+
+class UNet2DSphere(nn.Module):
+    backbone_name: str = "effnet-b7"
+    num_features: int = 2560
+    sphere: SphereConfig = SphereConfig()
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    def setup(self):
+        self.backbone = make_backbone(
+            self.backbone_name, num_features=self.num_features,
+            dtype=self.dtype, axis_name=self.axis_name,
+        )
+        self.decoder = DecoderSphere(
+            num_features=self.num_features, sphere=self.sphere,
+            dtype=self.dtype, axis_name=self.axis_name,
+        )
+
+    def __call__(self, img: jnp.ndarray, pix: jnp.ndarray, pix_sphere: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        taps = self.backbone(img, train=train)
+        return self.decoder(taps, pix, pix_sphere, train=train)
+
+    @property
+    def d_latent(self) -> int:
+        return decoder_latent_dim(self.num_features)
