@@ -1,0 +1,59 @@
+"""Metric logging: tensorboardX writer with the reference's scalar namespace
+(SURVEY.md section 5): {train,val}/loss_*, {train,val}depth/*, {train,val}_som/*.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    from tensorboardX import SummaryWriter
+except Exception:  # pragma: no cover
+    SummaryWriter = None
+
+
+# model metric key -> reference scalar name pattern ({} = step_type)
+_NAMESPACE = {
+    "loss_reprojection": "{}/loss_reprojection",
+    "loss_color": "{}/loss_color",
+    "loss_som_kl": "{}/loss_som_kl",
+    "loss_dist2closest_gauss": "{}/loss_dist2closest_gauss",
+    "total_loss": "{}/total_loss",
+    "min_som_vars": "{}/min_som_vars",
+    "loss_dist2closest": "{}_som/dist_2_closest_gaussian",
+    "min_stds": "{}_som/closest_std",
+    "closest_pts_to_depth": "{}depth/closest_pts_to_depth",
+    "weights_at_depth": "{}depth/weights_at_depth",
+}
+
+
+def scalar_name(key: str, step_type: str) -> str:
+    if key in _NAMESPACE:
+        return _NAMESPACE[key].format(step_type)
+    if key.startswith("depth/"):
+        return f"{step_type}depth/{key.removeprefix('depth/')}"
+    return f"{step_type}/{key}"
+
+
+class MetricLogger:
+    def __init__(self, logdir: Optional[str] = None):
+        self.writer = None
+        if logdir and SummaryWriter is not None:
+            os.makedirs(logdir, exist_ok=True)
+            self.writer = SummaryWriter(logdir)
+
+    def log(self, metrics: Dict[str, float], step: int, step_type: str = "train"):
+        for k, v in metrics.items():
+            v = float(np.asarray(v))
+            if self.writer is not None:
+                self.writer.add_scalar(scalar_name(k, step_type), v, step)
+
+    def log_lr(self, lr: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar("lr", float(lr), step)
+
+    def flush(self):
+        if self.writer is not None:
+            self.writer.flush()
