@@ -1,0 +1,96 @@
+"""Isosurface mesh extraction + PLY export.
+
+marching_cubes() calls the native C++ extractor
+(scenerf_tpu/native/meshing.cpp), replacing the reference's
+skimage.marching_cubes_lewiner (ref fusion.py:341, :368). PLY writers mirror
+ref fusion.py:405-465.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from scenerf_tpu.native.build import load
+
+
+def marching_cubes(volume: np.ndarray, level: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract the `level` isosurface of a [X, Y, Z] float volume.
+
+    Returns (verts [V, 3] in voxel coords, faces [F, 3] int32,
+    normals [V, 3]).
+    """
+    lib = load()
+    lib.mc_run.restype = ctypes.c_void_p
+    lib.mc_run.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                           ctypes.c_int, ctypes.c_int, ctypes.c_float]
+    lib.mc_counts.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int64)]
+    lib.mc_copy.argtypes = [ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_float),
+                            ctypes.POINTER(ctypes.c_int32),
+                            ctypes.POINTER(ctypes.c_float)]
+    lib.mc_free.argtypes = [ctypes.c_void_p]
+
+    vol = np.ascontiguousarray(volume, dtype=np.float32)
+    nx, ny, nz = vol.shape
+    handle = lib.mc_run(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        nx, ny, nz, float(level))
+    try:
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        lib.mc_counts(handle, ctypes.byref(nv), ctypes.byref(nf))
+        verts = np.empty((nv.value, 3), np.float32)
+        faces = np.empty((nf.value, 3), np.int32)
+        norms = np.empty((nv.value, 3), np.float32)
+        if nv.value:
+            lib.mc_copy(handle,
+                        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.mc_free(handle)
+    return verts, faces, norms
+
+
+def meshwrite(filename: str, verts, faces, norms, colors):
+    """ASCII PLY mesh writer (ref fusion.py:405-438)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    norms = np.asarray(norms)
+    colors = np.asarray(colors).astype(np.uint8)
+    with open(filename, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {verts.shape[0]}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property float nx\nproperty float ny\nproperty float nz\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {faces.shape[0]}\n")
+        f.write("property list uchar int vertex_index\nend_header\n")
+        for i in range(verts.shape[0]):
+            f.write("%f %f %f %f %f %f %d %d %d\n" % (
+                verts[i, 0], verts[i, 1], verts[i, 2],
+                norms[i, 0], norms[i, 1], norms[i, 2],
+                colors[i, 0], colors[i, 1], colors[i, 2]))
+        for i in range(faces.shape[0]):
+            f.write("3 %d %d %d\n" % (faces[i, 0], faces[i, 1], faces[i, 2]))
+
+
+def pcwrite(filename: str, xyzrgb):
+    """ASCII PLY point-cloud writer (ref fusion.py:441-465)."""
+    xyzrgb = np.asarray(xyzrgb)
+    xyz = xyzrgb[:, :3]
+    rgb = xyzrgb[:, 3:].astype(np.uint8)
+    with open(filename, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {xyz.shape[0]}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for i in range(xyz.shape[0]):
+            f.write("%f %f %f %d %d %d\n" % (
+                xyz[i, 0], xyz[i, 1], xyz[i, 2],
+                rgb[i, 0], rgb[i, 1], rgb[i, 2]))

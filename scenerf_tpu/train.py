@@ -83,10 +83,15 @@ class Trainer:
 
     # ------------------------------------------------------------------ state
     def create_state(self, key: jax.Array) -> TrainState:
-        variables = self.model.init(key)
-        params = {k: variables[k]["params"] for k in variables}
-        opt_state = self.tx.init(params)
-        state = TrainState.from_variables(variables, opt_state)
+        # Initialize on host CPU: eager per-op dispatch of a deep encoder to a
+        # (possibly remote) accelerator is pathologically slow, and the init
+        # graph is not worth an XLA compile. One device_put ships the tree.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = self.model.init(key)
+            params = {k: variables[k]["params"] for k in variables}
+            opt_state = self.tx.init(params)
+            state = TrainState.from_variables(variables, opt_state)
         return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------------ steps

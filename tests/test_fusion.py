@@ -1,0 +1,147 @@
+"""TSDF fusion + native meshing tests."""
+import numpy as np
+import pytest
+
+from scenerf_tpu.fusion.meshing import marching_cubes, meshwrite, pcwrite
+from scenerf_tpu.fusion.tsdf import TSDFVolume, pack_colors, tsdf2occ, unpack_colors
+
+
+def make_wall_frame(W=64, H=48, depth=2.0, f=50.0):
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    depth_im = np.full((H, W), depth, np.float32)
+    color_im = np.zeros((H, W, 3), np.float32)
+    color_im[..., 0] = 200.0  # red wall
+    return K, depth_im, color_im
+
+
+def test_pack_unpack_colors():
+    img = np.stack(np.meshgrid(np.arange(4) * 60, np.arange(3) * 80,
+                               indexing="ij"), -1).astype(np.float32)
+    img = np.concatenate([img, np.full((4, 3, 1), 17.0)], -1)
+    rt = unpack_colors(pack_colors(img))
+    np.testing.assert_allclose(rt, np.floor(img), atol=0)
+
+
+def test_tsdf_wall_zero_crossing():
+    K, depth_im, color_im = make_wall_frame(depth=2.0)
+    vol = TSDFVolume(np.array([[-1.0, 1.0], [-1.0, 1.0], [0.5, 3.5]]),
+                     voxel_size=0.1, trunc_margin=10.0)
+    vol.integrate(color_im, depth_im, K, np.eye(4))
+    tsdf, color = vol.get_volume()
+    # central column: z axis is dim 2; origin z=0.5, wall at z=2.0 -> index 15
+    col = tsdf[10, 10, :]
+    zs = 0.5 + np.arange(tsdf.shape[2]) * 0.1
+    observed = col != 255
+    assert observed.any()
+    # signed distance = depth - z, decreasing along z; zero near wall
+    d = col[observed] - (2.0 - zs[observed])
+    np.testing.assert_allclose(d, 0.0, atol=1e-4)
+    # color integrated where the wall got written
+    crossing = np.argmin(np.abs(col - 0.0))
+    rgb = unpack_colors(color[10, 10, crossing])
+    np.testing.assert_allclose(rgb, [200, 0, 0], atol=1e-5)
+
+
+def test_tsdf_closest_keeps_min_abs():
+    K, depth1, color1 = make_wall_frame(depth=2.0)
+    _, depth2, color2 = make_wall_frame(depth=2.5)
+    vol = TSDFVolume(np.array([[-0.5, 0.5], [-0.5, 0.5], [1.0, 3.0]]),
+                     voxel_size=0.1, trunc_margin=10.0)
+    vol.integrate(color1, depth1, K, np.eye(4))
+    t1, _ = vol.get_volume()
+    vol.integrate(color2, depth2, K, np.eye(4))
+    t2, _ = vol.get_volume()
+    keep = t1 != 255
+    assert (np.abs(t2[keep]) <= np.abs(t1[keep]) + 1e-5).all()
+
+
+def test_tsdf_integrate_frames_matches_sequential():
+    K, depth1, color1 = make_wall_frame(depth=2.0)
+    _, depth2, color2 = make_wall_frame(depth=2.4)
+    bnds = np.array([[-0.5, 0.5], [-0.5, 0.5], [1.0, 3.0]])
+    pose2 = np.eye(4)
+    pose2[2, 3] = 0.2
+
+    seq = TSDFVolume(bnds, 0.1)
+    seq.integrate(color1, depth1, K, np.eye(4))
+    seq.integrate(color2, depth2, K, pose2)
+
+    bat = TSDFVolume(bnds, 0.1)
+    bat.integrate_frames(
+        np.stack([color1, color2]), np.stack([depth1, depth2]),
+        np.stack([K, K]), np.stack([np.eye(4), pose2]))
+
+    np.testing.assert_allclose(seq.get_volume()[0], bat.get_volume()[0],
+                               atol=1e-5)
+    np.testing.assert_allclose(seq._weight, bat._weight, atol=1e-6)
+
+
+def test_tsdf_average_mode():
+    K, depth_im, color_im = make_wall_frame(depth=2.0)
+    vol = TSDFVolume(np.array([[-0.5, 0.5], [-0.5, 0.5], [1.0, 3.0]]),
+                     voxel_size=0.1, trunc_margin=0.5, mode="average")
+    # initial 255 would poison the average; seed with a first integrate
+    vol._tsdf = vol._tsdf * 0 + 1.0
+    vol.integrate(color_im, depth_im, K, np.eye(4))
+    tsdf, _ = vol.get_volume()
+    assert np.abs(tsdf[5, 5, :]).min() <= 1.0 + 1e-6
+
+
+def test_tsdf2occ_ramp():
+    tsdf = np.full((256, 4, 4), 255.0, np.float32)
+    tsdf[0, 0, 0] = 0.3    # near: threshold clamps at 0.2 -> not occupied
+    tsdf[200, 0, 0] = 0.3  # far: threshold ramped up -> occupied
+    occ = tsdf2occ(tsdf, th=0.25, max_th=6.0)
+    assert occ[0, 0, 0] == 0
+    assert occ[200, 0, 0] == 1
+    assert occ[50, 2, 2] == 0  # unobserved (255) stays empty
+
+
+# --------------------------------------------------------------------------- #
+# Native meshing
+# --------------------------------------------------------------------------- #
+
+
+def sphere_sdf(n=24, r=8.0):
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - (n - 1) / 2
+    return np.sqrt((g ** 2).sum(0)) - r
+
+
+def test_marching_cubes_sphere():
+    vol = sphere_sdf()
+    verts, faces, norms = marching_cubes(vol, level=0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    c = (vol.shape[0] - 1) / 2
+    radii = np.linalg.norm(verts - c, axis=1)
+    np.testing.assert_allclose(radii, 8.0, atol=0.35)
+    # normals ~ radial (gradient of SDF)
+    dirs = (verts - c) / radii[:, None]
+    dots = np.sum(dirs * norms, axis=1)
+    assert (dots > 0.9).mean() > 0.99
+    # watertight: every undirected edge shared by exactly two faces
+    edges = {}
+    for tri in faces:
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            k = (min(a, b), max(a, b))
+            edges[k] = edges.get(k, 0) + 1
+    counts = np.array(list(edges.values()))
+    assert (counts == 2).all()
+    # faces index valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_ply_writers(tmp_path):
+    vol = sphere_sdf(n=12, r=4.0)
+    verts, faces, norms = marching_cubes(vol)
+    colors = np.full((len(verts), 3), 128, np.uint8)
+    mesh_path = tmp_path / "m.ply"
+    meshwrite(str(mesh_path), verts, faces, norms, colors)
+    text = mesh_path.read_text()
+    assert text.startswith("ply")
+    assert f"element vertex {len(verts)}" in text
+    assert f"element face {len(faces)}" in text
+
+    pc = np.concatenate([verts, colors.astype(np.float32)], axis=1)
+    pc_path = tmp_path / "p.ply"
+    pcwrite(str(pc_path), pc)
+    assert pc_path.read_text().count("\n") == 10 + len(verts)
