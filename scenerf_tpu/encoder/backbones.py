@@ -134,6 +134,7 @@ class EfficientNet(nn.Module):
     bn_eps: float = 1e-3
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    remat: bool = True  # checkpoint each MBConv: trades recompute for HBM
 
     # stage index -> tap name (stage outputs the decoder consumes)
     TAP_STAGES = {0: "s2", 1: "s4", 2: "s8", 4: "s16"}
@@ -153,10 +154,11 @@ class EfficientNet(nn.Module):
                     name="conv_stem")(x)
         h = nn.swish(bn(h, "bn1"))
 
+        block_cls = nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
         for si, (expand, kernel, stride, base_f, base_r) in enumerate(_STAGES):
             f_out = round_filters(base_f, self.width)
             for bi in range(round_repeats(base_r, self.depth)):
-                h = MBConv(
+                h = block_cls(
                     filters_out=f_out,
                     expand_ratio=expand,
                     kernel=kernel,
@@ -166,7 +168,7 @@ class EfficientNet(nn.Module):
                     dtype=self.dtype,
                     axis_name=self.axis_name,
                     name=f"stage{si}_block{bi}",
-                )(h, train=train)
+                )(h, train)
             if si in self.TAP_STAGES:
                 taps[self.TAP_STAGES[si]] = h
 
@@ -218,7 +220,8 @@ class TinyBackbone(nn.Module):
 
 
 def make_backbone(name: str, num_features: int | None = None,
-                  dtype=jnp.float32, axis_name: str | None = None):
+                  dtype=jnp.float32, axis_name: str | None = None,
+                  remat: bool = True):
     """Build a backbone by config name: 'effnet-b{0..7}' or 'tiny'."""
     if name == "tiny":
         return TinyBackbone(num_features=num_features or 64, dtype=dtype,
@@ -228,5 +231,5 @@ def make_backbone(name: str, num_features: int | None = None,
         width, depth = VARIANTS[variant]
         nf = num_features or round_filters(1280, width)
         return EfficientNet(width=width, depth=depth, num_features=nf,
-                            dtype=dtype, axis_name=axis_name)
+                            dtype=dtype, axis_name=axis_name, remat=remat)
     raise ValueError(f"unknown backbone: {name}")

@@ -159,6 +159,7 @@ class DecoderSphere(nn.Module):
     sphere: SphereConfig
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
 
     @nn.compact
     def __call__(
@@ -184,11 +185,12 @@ class DecoderSphere(nn.Module):
         }
 
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        x_1_16 = UpSampleBN(F // 2, name="up16", **kw)(sph[32], sph[16], train=train)
-        x_1_8 = UpSampleBN(F // 4, name="up8", **kw)(x_1_16, sph[8], train=train)
-        x_1_4 = UpSampleBN(F // 8, name="up4", **kw)(x_1_8, sph[4], train=train)
-        x_1_2 = UpSampleBN(F // 16, name="up2", **kw)(x_1_4, sph[2], train=train)
-        x_1_1 = UpSampleBN(F // 32, name="up1", **kw)(x_1_2, sph[1], train=train)
+        up_cls = nn.remat(UpSampleBN, static_argnums=(3,)) if self.remat else UpSampleBN
+        x_1_16 = up_cls(F // 2, name="up16", **kw)(sph[32], sph[16], train)
+        x_1_8 = up_cls(F // 4, name="up8", **kw)(x_1_16, sph[8], train)
+        x_1_4 = up_cls(F // 8, name="up4", **kw)(x_1_8, sph[4], train)
+        x_1_2 = up_cls(F // 16, name="up2", **kw)(x_1_4, sph[2], train)
+        x_1_1 = up_cls(F // 32, name="up1", **kw)(x_1_2, sph[1], train)
 
         return {"1_1": x_1_1, "1_2": x_1_2, "1_4": x_1_4, "1_8": x_1_8,
                 "1_16": x_1_16}

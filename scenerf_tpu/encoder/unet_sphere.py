@@ -20,15 +20,16 @@ class UNet2DSphere(nn.Module):
     sphere: SphereConfig = SphereConfig()
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    remat: bool = True
 
     def setup(self):
         self.backbone = make_backbone(
             self.backbone_name, num_features=self.num_features,
-            dtype=self.dtype, axis_name=self.axis_name,
+            dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
         )
         self.decoder = DecoderSphere(
             num_features=self.num_features, sphere=self.sphere,
-            dtype=self.dtype, axis_name=self.axis_name,
+            dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
         )
 
     def __call__(self, img: jnp.ndarray, pix: jnp.ndarray, pix_sphere: jnp.ndarray,

@@ -6,6 +6,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from scenerf_tpu.utils.jax_setup import setup_compilation_cache
+
+setup_compilation_cache()
+
 from scenerf_tpu import config as C
 from scenerf_tpu.data.synthetic import make_batch
 from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
