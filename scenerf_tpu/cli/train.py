@@ -1,0 +1,230 @@
+"""Training entry points: train_kitti / train_bundlefusion.
+
+Contract: ref scenerf/scripts/train_kitti.py and train_bundlefusion.py --
+click flags, exp-name construction, auto-resume from `last`, checkpoint
+selection on valdepth/abs_rel, TensorBoard logging, half-train-set epochs.
+The Lightning Trainer + DDP is replaced by scenerf_tpu.train.Trainer's
+jit(shard_map) step over the data mesh.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import click
+import jax
+import numpy as np
+
+from scenerf_tpu import config as CFG
+from scenerf_tpu.data.loader import DataLoader
+from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+from scenerf_tpu.train import Trainer
+from scenerf_tpu.utils.checkpoint import CheckpointManager
+from scenerf_tpu.utils.jax_setup import setup_compilation_cache
+from scenerf_tpu.utils.logging_utils import MetricLogger
+
+
+def run_training(
+    cfg,
+    train_ds,
+    val_ds,
+    collate,
+    exp_name: str,
+    logdir: str,
+    n_epochs: int,
+    enable_log: bool,
+    limit_train_fraction: float = 0.5,
+    global_batch_size: int = 1,
+    seed: int = 42,
+    max_steps_per_epoch: int | None = None,
+):
+    """Shared epoch loop (ref train_kitti.py:104-158)."""
+    setup_compilation_cache()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if global_batch_size % n_dev != 0:
+        raise ValueError(f"batch size {global_batch_size} must divide over {n_dev} devices")
+
+    train_loader = DataLoader(train_ds, collate, batch_size=global_batch_size,
+                              shuffle=True, limit_fraction=limit_train_fraction,
+                              seed=seed)
+    val_loader = DataLoader(val_ds, collate, batch_size=global_batch_size,
+                            shuffle=False)
+
+    steps_per_epoch = max(1, len(train_loader))
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
+
+    ckpt_dir = os.path.join(logdir, "ckpts", exp_name)
+    mgr = CheckpointManager(ckpt_dir, monitor="depth/abs_rel", mode="min")
+    logger = MetricLogger(os.path.join(logdir, "tb", exp_name) if enable_log else None)
+
+    key = jax.random.PRNGKey(seed)
+    state = trainer.create_state(key)
+    start_epoch = 0
+    if mgr.latest() is not None:  # auto-resume (ref train_kitti.py:124-140)
+        template = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        state, _ = mgr.restore(template, which="last")
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+        print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})")
+
+    for epoch in range(start_epoch, n_epochs):
+        t_ep = time.time()
+        for bi, batch in enumerate(train_loader):
+            if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                break
+            step_key = jax.random.fold_in(key, int(np.asarray(state.step)))
+            batch = shard_batch(batch, mesh)
+            state, metrics = trainer.train_step(state, batch, step_key)
+            step = int(np.asarray(state.step))
+            if step % 10 == 0:
+                logger.log(jax.device_get(metrics), step, "train")
+                print(f"epoch {epoch} step {step} "
+                      f"loss {float(metrics['total_loss']):.4f}")
+
+        # ---- validation epoch ----
+        val_metrics_acc, n_val = None, 0
+        for bi, batch in enumerate(val_loader):
+            if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                break
+            batch = shard_batch(batch, mesh)
+            m = jax.device_get(trainer.val_step(state, batch,
+                                                jax.random.fold_in(key, -bi - 1)))
+            val_metrics_acc = m if val_metrics_acc is None else {
+                k: val_metrics_acc[k] + m[k] for k in m}
+            n_val += 1
+        if val_metrics_acc:
+            val_metrics = {k: v / n_val for k, v in val_metrics_acc.items()}
+            logger.log(val_metrics, int(np.asarray(state.step)), "val")
+            mgr.save(state, cfg, metrics=val_metrics)
+            print(f"epoch {epoch} ({time.time()-t_ep:.0f}s) "
+                  f"val abs_rel {val_metrics.get('depth/abs_rel', float('nan')):.4f}")
+        else:
+            mgr.save(state, cfg)
+    logger.flush()
+    return state
+
+
+@click.command()
+@click.option("--root", default="", help="path to dataset folder")
+@click.option("--preprocess_root", default="", help="path to preprocess folder")
+@click.option("--logdir", default="", help="log/checkpoint directory")
+@click.option("--bs", default=1, help="global batch size")
+@click.option("--n_rays", default=1200)
+@click.option("--n_sources", default=1, help="sources per step (fixed shape)")
+@click.option("--lr", default=1e-5)
+@click.option("--weight_decay", default=0.0)
+@click.option("--n_epochs", default=50)
+@click.option("--enable_log", default=True, type=bool)
+@click.option("--sequence_distance", default=10.0)
+@click.option("--frames_interval", default=0.4)
+@click.option("--n_gaussians", default=4)
+@click.option("--n_pts_per_gaussian", default=8)
+@click.option("--n_pts_uni", default=32)
+@click.option("--n_gt_depth", default=1024)
+@click.option("--std", default=2.0)
+@click.option("--add_fov_hor", default=20.0)
+@click.option("--add_fov_ver", default=8.0)
+@click.option("--sphere_w", default=1500)
+@click.option("--sphere_h", default=452)
+@click.option("--som_sigma", default=2.0)
+@click.option("--max_sample_depth", default=100.0)
+@click.option("--encoder", default="effnet-b7")
+@click.option("--exp_prefix", default="exp")
+@click.option("--compute_dtype", default="float32")
+@click.option("--max_steps_per_epoch", default=None, type=int)
+def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
+                weight_decay, n_epochs, enable_log, sequence_distance,
+                frames_interval, n_gaussians, n_pts_per_gaussian, n_pts_uni,
+                n_gt_depth, std, add_fov_hor, add_fov_ver, sphere_w, sphere_h,
+                som_sigma, max_sample_depth, encoder, exp_prefix, compute_dtype,
+                max_steps_per_epoch):
+    """Train SceneRF on SemanticKITTI (ref scenerf/scripts/train_kitti.py)."""
+    from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
+
+    cfg = CFG.kitti(
+        n_rays=n_rays, n_sources=n_sources, lr=lr, weight_decay=weight_decay,
+        n_gaussians=n_gaussians, n_pts_per_gaussian=n_pts_per_gaussian,
+        n_pts_uni=n_pts_uni, std=std, som_sigma=som_sigma,
+        max_sample_depth=max_sample_depth, encoder=encoder,
+        n_gt_depth=n_gt_depth, compute_dtype=compute_dtype,
+    )
+    cfg = cfg.replace(sphere=cfg.sphere.__class__(
+        width=sphere_w, height=sphere_h,
+        add_fov_hor=add_fov_hor, add_fov_ver=add_fov_ver))
+
+    # experiment identity string (ref train_kitti.py:64-72)
+    exp_name = (f"{exp_prefix}_kitti_rays{n_rays}_gauss{n_gaussians}x"
+                f"{n_pts_per_gaussian}_std{std}_sigma{som_sigma}"
+                f"_fov{add_fov_hor}x{add_fov_ver}_sphere{sphere_w}x{sphere_h}")
+    print("exp_name:", exp_name)
+
+    train_ds = KittiDataset("train", root, preprocess_root,
+                            frames_interval=frames_interval,
+                            sequence_distance=sequence_distance,
+                            n_sources=n_sources, n_rays=n_gt_depth, seed=42)
+    val_ds = KittiDataset("val", root, preprocess_root,
+                          frames_interval=frames_interval,
+                          sequence_distance=sequence_distance,
+                          n_sources=n_sources, n_rays=n_gt_depth, seed=42)
+    collate = lambda items: to_model_batch(items, cfg)
+    run_training(cfg, train_ds, val_ds, collate, exp_name, logdir, n_epochs,
+                 enable_log, limit_train_fraction=0.5, global_batch_size=bs,
+                 max_steps_per_epoch=max_steps_per_epoch)
+
+
+@click.command()
+@click.option("--root", default="", help="path to bundlefusion folder")
+@click.option("--logdir", default="")
+@click.option("--bs", default=1)
+@click.option("--n_rays", default=2048)
+@click.option("--n_sources", default=1)
+@click.option("--lr", default=2e-5)
+@click.option("--weight_decay", default=0.0)
+@click.option("--n_epochs", default=50)
+@click.option("--enable_log", default=True, type=bool)
+@click.option("--frame_interval", default=2)
+@click.option("--n_frames", default=16)
+@click.option("--n_gaussians", default=4)
+@click.option("--n_pts_per_gaussian", default=8)
+@click.option("--n_pts_uni", default=32)
+@click.option("--n_gt_depth", default=1024)
+@click.option("--std", default=0.2)
+@click.option("--som_sigma", default=0.02)
+@click.option("--sample_grid_size", default=2)
+@click.option("--encoder", default="effnet-b7")
+@click.option("--exp_prefix", default="exp")
+@click.option("--compute_dtype", default="float32")
+@click.option("--max_steps_per_epoch", default=None, type=int)
+def train_bundlefusion(root, logdir, bs, n_rays, n_sources, lr, weight_decay,
+                       n_epochs, enable_log, frame_interval, n_frames,
+                       n_gaussians, n_pts_per_gaussian, n_pts_uni, n_gt_depth,
+                       std, som_sigma, sample_grid_size, encoder, exp_prefix,
+                       compute_dtype, max_steps_per_epoch):
+    """Train SceneRF on BundleFusion (ref scenerf/scripts/train_bundlefusion.py)."""
+    from scenerf_tpu.data.bundlefusion import BundlefusionDataset, to_model_batch
+
+    cfg = CFG.bundlefusion(
+        n_rays=n_rays, n_sources=n_sources, lr=lr, weight_decay=weight_decay,
+        n_gaussians=n_gaussians, n_pts_per_gaussian=n_pts_per_gaussian,
+        n_pts_uni=n_pts_uni, std=std, som_sigma=som_sigma, encoder=encoder,
+        n_gt_depth=n_gt_depth, sample_grid_size=sample_grid_size,
+        compute_dtype=compute_dtype,
+    )
+    exp_name = (f"{exp_prefix}_bf_rays{n_rays}_gauss{n_gaussians}x"
+                f"{n_pts_per_gaussian}_std{std}_sigma{som_sigma}")
+    print("exp_name:", exp_name)
+
+    train_ds = BundlefusionDataset("train", root, n_sources=n_sources,
+                                   frame_interval=frame_interval,
+                                   n_frames=n_frames, seed=42)
+    val_ds = BundlefusionDataset("val", root, n_sources=n_sources,
+                                 frame_interval=frame_interval,
+                                 n_frames=n_frames, seed=42)
+    collate = lambda items: to_model_batch(items, cfg)
+    run_training(cfg, train_ds, val_ds, collate, exp_name, logdir, n_epochs,
+                 enable_log, limit_train_fraction=1.0, global_batch_size=bs,
+                 max_steps_per_epoch=max_steps_per_epoch)
+
+
+if __name__ == "__main__":
+    train_kitti()

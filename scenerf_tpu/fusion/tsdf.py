@@ -229,6 +229,27 @@ class TSDFVolume:
         return verts, faces, norms, colors.astype(np.uint8)
 
 
+def tsdf2occ_bf(tsdf: np.ndarray, min_th: float, th: float = 0.25,
+                max_th: float = 0.2, voxel_size: float = 0.04) -> np.ndarray:
+    """BundleFusion occupancy threshold ramped along the z (height) axis
+    (ref eval_sc_bf.py:15-21)."""
+    Z = tsdf.shape[2]
+    ramp = voxel_size + np.arange(Z).reshape(1, 1, Z) * voxel_size * th
+    ramp = np.clip(ramp, min_th, max_th)
+    occ = np.zeros(tsdf.shape, dtype=np.float32)
+    occ[(np.abs(tsdf) < ramp) & (np.abs(tsdf) != 255)] = 1
+    return occ
+
+
+def tsdf_to_gt_occupancy(tsdf: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Fused-depth GT occupancy: 255 unknown, 0 free, 1 surface
+    (ref generate_sc_gt_bf.py:88-92)."""
+    occ = np.full_like(tsdf, 255.0)
+    occ[(tsdf > voxel_size) & (tsdf != 255)] = 0
+    occ[(np.abs(tsdf) < voxel_size) & (tsdf != 255)] = 1
+    return occ
+
+
 def tsdf2occ(tsdf: np.ndarray, th: float, max_th: float = 4.0,
              voxel_size: float = 0.2) -> np.ndarray:
     """TSDF -> occupancy with a distance-ramped threshold along the x (forward)
