@@ -1,0 +1,98 @@
+"""Benchmark: training-rays/sec/chip of the flagship KITTI train step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the reference's published training config (EfficientNet-B7
+spherical U-Net at 1220x370, sphere 1500x452, 1200 rays x 64 PrSamp samples,
+1 source/step, bs=1/chip -- ref README.md:172-184, scenerf.py:29-65) driven by
+the fused jit(shard_map) train step. The reference repo publishes no
+throughput numbers (BASELINE.md); `vs_baseline` is measured against a
+documented estimate of the PyTorch reference's per-GPU training throughput:
+~1200 rays rendered per ~1.5 s step on V100 (serial 100-ray chunk loop, 12
+chunked renders + B7 forward/backward) => 800 rays/sec/GPU.
+
+If the full-resolution step cannot run on the available chip, the benchmark
+steps down a documented ladder (bf16 compute, then half resolution) and
+reports which rung ran via the metric name suffix.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 800.0  # documented estimate; see module docstring
+
+
+def run_config(tag, cfg, steps=5):
+    import jax
+
+    from scenerf_tpu.data.synthetic import make_batch
+    from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenerf_tpu.train import Trainer
+
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
+                      with_depth_eval=False)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch = shard_batch(make_batch(cfg, batch_size=1), mesh)
+    key = jax.random.PRNGKey(1)
+
+    state, m = trainer.train_step(state, batch, key)  # compile
+    jax.block_until_ready(m["total_loss"])
+
+    times = []
+    for i in range(steps):
+        t0 = time.time()
+        state, m = trainer.train_step(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(m["total_loss"])
+        times.append(time.time() - t0)
+    step_time = float(np.median(times))
+    rays = cfg.n_rays * cfg.n_sources
+    return {
+        "metric": f"train_rays_per_sec_per_chip[{tag}]",
+        "value": round(rays / step_time, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays / step_time / REF_RAYS_PER_SEC, 3),
+    }
+
+
+def main():
+    from scenerf_tpu import config as C
+    from scenerf_tpu.utils.jax_setup import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    flagship = C.kitti(n_sources=1, ray_chunk=300, n_gt_depth=256)
+    half = flagship.replace(img_size=(612, 186), n_rays=1200, ray_chunk=300)
+    half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
+
+    ladder = [
+        ("kitti-b7-full", flagship),
+        ("kitti-b7-full-bf16", flagship.replace(compute_dtype="bfloat16")),
+        ("kitti-b7-half", half),
+    ]
+    last_err = None
+    for tag, cfg in ladder:
+        try:
+            result = run_config(tag, cfg)
+            print(json.dumps(result))
+            return 0
+        except Exception as e:  # OOM / compile failure: step down
+            last_err = e
+            print(f"[bench] config {tag} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip[failed]",
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": 0.0,
+        "error": f"{type(last_err).__name__}: {last_err}",
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
