@@ -32,11 +32,13 @@ class ResnetBlockFC(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.d_hidden, kernel_init=kaiming_normal, dtype=self.dtype,
-                     name="fc_0")(nn.relu(x))
-        dx = nn.Dense(self.d_hidden, kernel_init=nn.initializers.zeros,
-                      dtype=self.dtype, name="fc_1")(nn.relu(h))
-        return x + dx
+        # profiler annotation parity: ref resnetfc.py:55 "resblock"
+        with jax.named_scope("resblock"):
+            h = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
+                         dtype=self.dtype, name="fc_0")(nn.relu(x))
+            dx = nn.Dense(self.d_hidden, kernel_init=nn.initializers.zeros,
+                          dtype=self.dtype, name="fc_1")(nn.relu(h))
+            return x + dx
 
 
 class ResnetFC(nn.Module):
@@ -54,16 +56,19 @@ class ResnetFC(nn.Module):
 
     @nn.compact
     def __call__(self, z: Optional[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.d_hidden, kernel_init=kaiming_normal, dtype=self.dtype,
-                     name="lin_in")(x)
-        for i in range(self.n_blocks):
-            if z is not None:
-                tz = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
-                              dtype=self.dtype, name=f"lin_z_{i}")(z)
-                h = h + tz
-            h = ResnetBlockFC(self.d_hidden, dtype=self.dtype, name=f"block_{i}")(h)
-        return nn.Dense(self.d_out, kernel_init=kaiming_normal, dtype=self.dtype,
-                        name="lin_out")(nn.relu(h))
+        # profiler annotation parity: ref resnetfc.py:140 "resnetfc_infer"
+        with jax.named_scope("resnetfc_infer"):
+            h = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
+                         dtype=self.dtype, name="lin_in")(x)
+            for i in range(self.n_blocks):
+                if z is not None:
+                    tz = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
+                                  dtype=self.dtype, name=f"lin_z_{i}")(z)
+                    h = h + tz
+                h = ResnetBlockFC(self.d_hidden, dtype=self.dtype,
+                                  name=f"block_{i}")(h)
+            return nn.Dense(self.d_out, kernel_init=kaiming_normal,
+                            dtype=self.dtype, name="lin_out")(nn.relu(h))
 
 
 def density_activation(logit: jnp.ndarray, head: str = "softplus") -> jnp.ndarray:
