@@ -27,6 +27,17 @@ CLASS_NAMES = (
 
 N_CLASSES = 20
 
+# per-class voxel counts over the train split (dataset statistics,
+# ref scenerf/data/semantic_kitti/params.py:3-25) -- used for class-balanced
+# weighting in downstream semantic tasks
+CLASS_FREQUENCIES = np.array([
+    5.41773033e09, 1.57835390e07, 1.25136000e05, 1.18809000e05,
+    6.46799000e05, 8.21951000e05, 2.62978000e05, 2.83696000e05,
+    2.04750000e05, 6.16887030e07, 4.50296100e06, 4.48836500e07,
+    2.26992300e06, 5.68402180e07, 1.57196520e07, 1.58442623e08,
+    2.06162300e06, 3.69705220e07, 1.15198800e06, 3.34146000e05,
+])
+
 
 def unpack(compressed: np.ndarray) -> np.ndarray:
     """Bit-packed uint8 -> one byte per voxel (MSB first)
