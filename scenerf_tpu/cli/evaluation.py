@@ -230,7 +230,7 @@ def agg_depth_metrics_bf(eval_save_dir):
 
 
 def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
-                        source_image_saver):
+                        source_image_saver, upsample_to=None):
     model, state, cfg = common.load_model(model_path)
     variables = state.variables()
     render_fn = make_ray_renderer(model, chunk)
@@ -271,6 +271,12 @@ def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
             # grid is W-major (n_x, n_y): transpose to (H, W, 3)
             img = color.reshape(grid_shape[0], grid_shape[1], 3)
             img = np.transpose(img, (1, 0, 2))
+            if upsample_to is not None:
+                # BF saves renders upsampled back to full resolution
+                # (ref render_colors_bf.py:146-155)
+                import jax.image
+                img = np.asarray(jax.image.resize(
+                    jnp.asarray(img), (*upsample_to, 3), method="bilinear"))
             common.save_color_png(render_filepath, img)
             print("Color saved", render_filepath)
 
@@ -307,7 +313,7 @@ def render_colors_bf(root, model_path, eval_save_dir, frame_interval, n_frames):
         common.save_color_png(path, item["img_sources"][sid])
 
     _render_colors_impl(ds, model_path, eval_save_dir, stride=2, chunk=4000,
-                        source_image_saver=save_src)
+                        source_image_saver=save_src, upsample_to=(480, 640))
 
 
 def _eval_color_impl(eval_save_dir, sequence, resize, skip_frames=(),
@@ -371,7 +377,8 @@ def eval_color_bf(eval_save_dir, lpips_vgg_path, lpips_lin_path):
     """BundleFusion novel-view metrics at 320x240
     (ref evaluation/eval_color_bf.py)."""
     weights = (lpips_vgg_path, lpips_lin_path) if lpips_vgg_path else None
-    _eval_color_impl(eval_save_dir, "copyroom", (320, 240),
+    # BF compares at full 640x480 (ref eval_color_bf.py:85-91: no resize)
+    _eval_color_impl(eval_save_dir, "copyroom", (640, 480),
                      lpips_weights=weights)
 
 
