@@ -40,10 +40,11 @@ def run_training(
 ):
     """Shared epoch loop (ref train_kitti.py:104-158)."""
     setup_compilation_cache()
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
-    if global_batch_size % n_dev != 0:
-        raise ValueError(f"batch size {global_batch_size} must divide over {n_dev} devices")
+    # mesh over the largest device count that divides the global batch
+    devices = jax.devices()
+    n_dev = next(k for k in range(min(len(devices), global_batch_size), 0, -1)
+                 if global_batch_size % k == 0)
+    mesh = make_mesh(devices[:n_dev])
 
     train_loader = DataLoader(train_ds, collate, batch_size=global_batch_size,
                               shuffle=True, limit_fraction=limit_train_fraction,
@@ -52,6 +53,8 @@ def run_training(
                             shuffle=False)
 
     steps_per_epoch = max(1, len(train_loader))
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
     trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
 
     ckpt_dir = os.path.join(logdir, "ckpts", exp_name)
@@ -87,8 +90,8 @@ def run_training(
             if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                 break
             batch = shard_batch(batch, mesh)
-            m = jax.device_get(trainer.val_step(state, batch,
-                                                jax.random.fold_in(key, -bi - 1)))
+            val_key = jax.random.fold_in(jax.random.fold_in(key, 0x5EED), bi)
+            m = jax.device_get(trainer.val_step(state, batch, val_key))
             val_metrics_acc = m if val_metrics_acc is None else {
                 k: val_metrics_acc[k] + m[k] for k in m}
             n_val += 1

@@ -79,6 +79,8 @@ class CheckpointManager:
                 self._ckptr.save(self._best_path, state, force=True)
                 meta["best_value"] = value
                 meta["best_step"] = int(np.asarray(state.step))
+        # orbax saves are async; barrier so `last`/`best` are durable on return
+        self._ckptr.wait_until_finished()
         self._write_meta(meta)
 
     # --------------------------------------------------------------- restore
