@@ -45,6 +45,15 @@ class SceneRF:
     """
 
     def __init__(self, cfg: SceneRFConfig, axis_name: Optional[str] = None):
+        if cfg.n_rays > cfg.ray_chunk and cfg.n_rays % cfg.ray_chunk != 0:
+            raise ValueError(
+                f"n_rays={cfg.n_rays} must be a multiple of ray_chunk="
+                f"{cfg.ray_chunk} (or fit in one chunk)")
+        if (cfg.n_gt_depth > cfg.eval_ray_chunk
+                and cfg.n_gt_depth % cfg.eval_ray_chunk != 0):
+            raise ValueError(
+                f"n_gt_depth={cfg.n_gt_depth} must be a multiple of "
+                f"eval_ray_chunk={cfg.eval_ray_chunk} (or fit in one chunk)")
         self.cfg = cfg
         self.net_rgb = UNet2DSphere(
             backbone_name=cfg.encoder,
