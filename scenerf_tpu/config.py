@@ -86,6 +86,7 @@ class SceneRFConfig:
     som_sigma: float = 2.0             # ref train_kitti.py:35
     kl_std_floor: float = 1.5          # ref ray_som_kl.py:83
     pixel_stride: int = 2              # training ray-pixel grid stride, ref scenerf.py:253
+    sampling_method: str = "uniform"   # "uniform" | "log", ref scenerf.py:37
     sample_grid_size: int = 1          # BF divides rays over a grid, ref scenerf_bf.py:168
 
     # ---- field MLP ----

@@ -161,6 +161,7 @@ def render_ray_block(
     pts_uni, dv_uni, sd_uni, _ = S.sample_rays_uniform(
         k_uni, pixels, inv_K, T_source2infer,
         cfg.n_pts_uni, cfg.min_sample_depth, cfg.max_sample_depth,
+        method=cfg.sampling_method,
     )
 
     # --- Gaussian mixture prediction at anchor points ---------------------
