@@ -47,9 +47,11 @@ def build_sphere_maps(
 ) -> Dict[int, jnp.ndarray]:
     """Inverse maps sphere_cell -> source pixel coords at every pyramid scale.
 
-    Returns {scale: [out_W, out_H, 2]} with sentinel -10 for unmapped cells
-    (ref unet2d_sphere.py:138-148). Kept W-major to mirror the reference's
-    flattening order.
+    Returns {scale: [out_H, out_W, 2]} with sentinel -10 for unmapped cells
+    (ref unet2d_sphere.py:138-148). Stored H-major so the gathered feature maps
+    come out directly in NHWC layout -- the reference's W-major intermediate
+    requires a full-tensor transpose per scale, which showed up as one of the
+    largest copy costs in the device profile.
     """
     maps = {}
     for scale in SCALES:
@@ -57,24 +59,24 @@ def build_sphere_maps(
         sx = jnp.clip(jnp.round(pix_sphere[:, 0] / scale).astype(jnp.int32), 0, out_W - 1)
         sy = jnp.clip(jnp.round(pix_sphere[:, 1] / scale).astype(jnp.int32), 0, out_H - 1)
         pix_scale = jnp.floor(pix / scale)  # ref uses float floor-division
-        base = jnp.full((out_W * out_H, 2), -10.0, dtype=pix.dtype)
-        maps[scale] = base.at[sx * out_H + sy].set(pix_scale).reshape(out_W, out_H, 2)
+        base = jnp.full((out_H * out_W, 2), -10.0, dtype=pix.dtype)
+        maps[scale] = base.at[sy * out_W + sx].set(pix_scale).reshape(out_H, out_W, 2)
     return maps
 
 
 def sphere_scatter_gather(feat: jnp.ndarray, sphere_map: jnp.ndarray) -> jnp.ndarray:
     """Resample an image-space feature map [h, w, C] onto the spherical grid.
 
-    sphere_map: [out_W, out_H, 2] image pixel coords (sentinel -10 lands far
+    sphere_map: [out_H, out_W, 2] image pixel coords (sentinel -10 lands far
     outside [-1, 1] after normalization and samples zeros, exactly like the
-    reference). Returns [out_H, out_W, C].
+    reference). Returns [out_H, out_W, C] with no transpose.
     """
     h, w, _ = feat.shape
-    out_W, out_H, _ = sphere_map.shape
+    out_H, out_W, _ = sphere_map.shape
     flat = sphere_map.reshape(-1, 2)
     grid = jnp.stack([flat[:, 0] / w, flat[:, 1] / h], axis=-1) * 2.0 - 1.0
-    vals = geo.grid_sample_norm(feat, grid)  # [out_W*out_H, C]
-    return jnp.swapaxes(vals.reshape(out_W, out_H, -1), 0, 1)
+    vals = geo.grid_sample_norm(feat, grid)  # [out_H*out_W, C]
+    return vals.reshape(out_H, out_W, -1)
 
 
 def _interp_matrix_align_corners(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:

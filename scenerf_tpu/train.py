@@ -100,6 +100,9 @@ class Trainer:
         with_depth_eval = self.with_depth_eval
 
         def per_shard(state: TrainState, batch, key):
+            # fold in step + device INSIDE the program: host-side fold_in is a
+            # separate (expensive) dispatch through the runtime per step
+            key = jax.random.fold_in(key, state.step)
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
 
             def loss_fn(params):
