@@ -46,7 +46,8 @@ def run_config(tag, cfg, steps=5):
     times = []
     for i in range(steps):
         t0 = time.time()
-        state, m = trainer.train_step(state, batch, jax.random.fold_in(key, i))
+        # RNG folding happens inside the step (keyed by state.step)
+        state, m = trainer.train_step(state, batch, key)
         jax.block_until_ready(m["total_loss"])
         times.append(time.time() - t0)
     step_time = float(np.median(times))

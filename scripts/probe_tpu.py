@@ -61,7 +61,8 @@ print(f"first step (compile+run): {time.time()-t0:.1f}s loss={float(metrics['tot
 times = []
 for i in range(args.steps):
     t0 = time.time()
-    state, metrics = trainer.train_step(state, batch, jax.random.fold_in(key, i))
+    # RNG folding happens inside the step (keyed by state.step)
+    state, metrics = trainer.train_step(state, batch, key)
     jax.block_until_ready(metrics["total_loss"])
     times.append(time.time() - t0)
 t = float(np.median(times))
