@@ -319,3 +319,38 @@ class SceneRF:
             "depth": out["depth"][:n].reshape(h, w),
             "color": out["color"][:n].reshape(h, w, 3),
         }
+
+    def render_pose_sweep(
+        self,
+        variables: Dict[str, Any],
+        pyramid: R.FeaturePyramid,
+        cam_K: jnp.ndarray,
+        poses: jnp.ndarray,  # [P, 4, 4]
+        key: jax.Array,
+        stride: int = 2,
+        ray_chunk: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Render depth+color for a whole stack of poses in ONE program
+        (lax.map over poses): the reconstruction sweep (~63 poses/frame,
+        ref generate_novel_depths.py:81-152) without per-pose dispatch.
+        Returns depth [P, H/stride, W/stride], color [P, ..., 3]."""
+        cfg = self.cfg
+        W, H = cfg.img_size
+        xs = jnp.arange(0, W, stride, dtype=jnp.float32)
+        ys = jnp.arange(0, H, stride, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        pixels = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+        chunk = ray_chunk or cfg.eval_ray_chunk
+        padded, _ = R.pad_rays(pixels, chunk)
+        n = pixels.shape[0]
+        h, w = len(ys), len(xs)
+        keys = jax.random.split(key, poses.shape[0])
+
+        def one(args):
+            T, k = args
+            out = self.render_rays(variables, pyramid, cam_K, T, padded, k,
+                                   ray_chunk=chunk, remat=False)
+            return {"depth": out["depth"][:n].reshape(h, w),
+                    "color": out["color"][:n].reshape(h, w, 3)}
+
+        return jax.lax.map(one, (poses, keys))
