@@ -39,12 +39,21 @@ def _upsample_to(img: np.ndarray, out_hw, channels_last=True) -> np.ndarray:
 
 def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
                                 rel_poses, chunk=5000):
+    import jax.numpy as jnp
+
+    from scenerf_tpu.rendering import FeaturePyramid
+
     model, state, cfg = common.load_model(model_path)
     variables = state.variables()
-    render_fn = make_ray_renderer(model, chunk)
     key = jax.random.PRNGKey(0)
     W, H = cfg.img_size
-    pixels, grid_shape = common.strided_pixel_grid(cfg.img_size, scale)
+    pose_names = [f"_{step}_{angle}" for (step, angle) in rel_poses.keys()]
+    pose_stack = jnp.asarray(np.stack([np.asarray(p) for p in rel_poses.values()]))
+
+    # the whole sweep renders as one program per frame (lax.map over poses)
+    sweep = jax.jit(lambda v, lv, K, poses, k: model.render_pose_sweep(
+        v, FeaturePyramid(levels=lv), K, poses, k, stride=scale,
+        ray_chunk=chunk))
 
     for idx in range(len(dataset)):
         item = dataset[idx]
@@ -55,34 +64,31 @@ def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
         for d in (depth_dir, visual_dir, rgb_dir):
             os.makedirs(d, exist_ok=True)
 
-        levels = None
-        for (step, angle), rel_pose in rel_poses.items():
-            name = f"{frame_id}_{step}_{angle}"
-            depth_path = os.path.join(depth_dir, name + ".npy")
-            visual_path = os.path.join(visual_dir, name + ".png")
-            rgb_path = os.path.join(rgb_dir, name + ".png")
-            if (os.path.exists(depth_path) and os.path.exists(visual_path)
-                    and os.path.exists(rgb_path)):
-                continue
-            if levels is None:
-                lv_all, _ = common.encode_frame(model, state, item["img_input"],
-                                                item["cam_K"])
-                levels = _item_levels(lv_all)
+        names = [f"{frame_id}{pn}" for pn in pose_names]
+        if all(os.path.exists(os.path.join(depth_dir, n + ".npy"))
+               and os.path.exists(os.path.join(visual_dir, n + ".png"))
+               and os.path.exists(os.path.join(rgb_dir, n + ".png"))
+               for n in names):
+            continue
 
-            depth, color = render_depth_at_pixels(
-                render_fn, variables, levels, item["cam_K"], rel_pose,
-                pixels, chunk, jax.random.fold_in(key, hash(name) % (2**31)))
-            # strided W-major grid -> (h, w) image -> full-res
-            depth_im = depth.reshape(grid_shape).T
-            color_im = np.transpose(color.reshape(*grid_shape, 3), (1, 0, 2))
+        lv_all, _ = common.encode_frame(model, state, item["img_input"],
+                                        item["cam_K"])
+        levels = _item_levels(lv_all)
+        out = sweep(variables, levels, jnp.asarray(item["cam_K"]), pose_stack,
+                    jax.random.fold_in(key, idx))
+        depths = np.asarray(out["depth"])   # [P, h, w]
+        colors = np.asarray(out["color"])   # [P, h, w, 3]
+
+        for pi, name in enumerate(names):
+            depth_im, color_im = depths[pi], colors[pi]
             if scale != 1:
                 depth_im = _upsample_to(depth_im, (H, W))
                 color_im = _upsample_to(color_im, (H, W))
-
-            np.save(depth_path, depth_im)
-            common.save_color_png(rgb_path, color_im)
-            common.save_depth_visual(visual_path, depth_im)
-            print("saved depth", depth_path)
+            np.save(os.path.join(depth_dir, name + ".npy"), depth_im)
+            common.save_color_png(os.path.join(rgb_dir, name + ".png"), color_im)
+            common.save_depth_visual(os.path.join(visual_dir, name + ".png"),
+                                     depth_im)
+        print(f"saved sweep for frame {frame_id} ({len(names)} poses)")
 
 
 @click.command()
