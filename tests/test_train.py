@@ -67,7 +67,8 @@ def test_sharded_matches_single_device(cfg):
     losses = []
     for i in range(4):
         shard = {k: jnp.asarray(v[i:i + 1]) for k, v in global_batch.items()}
-        ki = jax.random.fold_in(key, i)
+        # per_shard folds (state.step, device index) into the key
+        ki = jax.random.fold_in(jax.random.fold_in(key, 0), i)
         # axis_name-free model (single device) for the manual pass
         from scenerf_tpu.model import SceneRF
         model1 = SceneRF(cfg)
