@@ -135,12 +135,14 @@ def run_training(
 @click.option("--exp_prefix", default="exp")
 @click.option("--compute_dtype", default="float32")
 @click.option("--max_steps_per_epoch", default=None, type=int)
+@click.option("--sequences", default="", help="comma list overriding the train split")
+@click.option("--val_sequences", default="", help="comma list overriding the val split")
 def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
                 weight_decay, n_epochs, enable_log, sequence_distance,
                 frames_interval, n_gaussians, n_pts_per_gaussian, n_pts_uni,
                 n_gt_depth, std, add_fov_hor, add_fov_ver, sphere_w, sphere_h,
                 som_sigma, max_sample_depth, encoder, exp_prefix, compute_dtype,
-                max_steps_per_epoch):
+                max_steps_per_epoch, sequences, val_sequences):
     """Train SceneRF on SemanticKITTI (ref scenerf/scripts/train_kitti.py)."""
     from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
 
@@ -164,11 +166,13 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
     train_ds = KittiDataset("train", root, preprocess_root,
                             frames_interval=frames_interval,
                             sequence_distance=sequence_distance,
-                            n_sources=n_sources, n_rays=n_gt_depth, seed=42)
+                            n_sources=n_sources, n_rays=n_gt_depth, seed=42,
+                            sequences=sequences.split(",") if sequences else None)
     val_ds = KittiDataset("val", root, preprocess_root,
                           frames_interval=frames_interval,
                           sequence_distance=sequence_distance,
-                          n_sources=n_sources, n_rays=n_gt_depth, seed=42)
+                          n_sources=n_sources, n_rays=n_gt_depth, seed=42,
+                          sequences=val_sequences.split(",") if val_sequences else None)
     collate = lambda items: to_model_batch(items, cfg)
     run_training(cfg, train_ds, val_ds, collate, exp_name, logdir, n_epochs,
                  enable_log, limit_train_fraction=0.5, global_batch_size=bs,

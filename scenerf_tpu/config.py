@@ -133,6 +133,7 @@ class SceneRFConfig:
     eval_ray_chunk: int = 4096         # rays per block at eval (no grad)
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
+    remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
 
     # ---------------------------------------------------------------- helpers
     @property

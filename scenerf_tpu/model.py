@@ -61,6 +61,7 @@ class SceneRF:
             sphere=cfg.sphere,
             dtype=cfg.dtype,
             axis_name=axis_name,
+            remat=cfg.remat_encoder,
         )
         self.d_latent = decoder_latent_dim(cfg.encoder_features)
         self.mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden,

@@ -28,6 +28,7 @@ p.add_argument("--ray_chunk", type=int, default=300)
 p.add_argument("--n_gt", type=int, default=256)
 p.add_argument("--depth_eval", action="store_true")
 p.add_argument("--dtype", default="float32")
+p.add_argument("--no_remat", action="store_true")
 p.add_argument("--steps", type=int, default=5)
 args = p.parse_args()
 
@@ -41,6 +42,7 @@ cfg = C.kitti(
     ray_chunk=args.ray_chunk,
     n_gt_depth=args.n_gt,
     compute_dtype=args.dtype,
+    remat_encoder=not args.no_remat,
 )
 cfg = cfg.replace(sphere=cfg.sphere.__class__(width=args.sphere_w, height=args.sphere_h))
 mesh = make_mesh(jax.devices()[:1])
