@@ -1,7 +1,6 @@
 """Shared helpers for the CLI entry points."""
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, Optional, Tuple
 
@@ -10,7 +9,7 @@ import numpy as np
 
 from scenerf_tpu.config import SceneRFConfig
 from scenerf_tpu.model import SceneRF
-from scenerf_tpu.train import Trainer, TrainState, make_optimizer
+from scenerf_tpu.train import Trainer, TrainState
 from scenerf_tpu.parallel.mesh import make_mesh
 from scenerf_tpu.utils.checkpoint import CheckpointManager
 from scenerf_tpu.utils.jax_setup import setup_compilation_cache

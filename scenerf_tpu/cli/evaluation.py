@@ -22,7 +22,6 @@ import numpy as np
 
 from scenerf_tpu import rendering as R
 from scenerf_tpu.cli import common
-from scenerf_tpu.losses import DEPTH_METRIC_NAMES
 from scenerf_tpu.utils.image_metrics import psnr, ssim
 from scenerf_tpu.utils.ssc_metrics import SSCMetrics
 from scenerf_tpu.fusion.tsdf import tsdf2occ, tsdf2occ_bf

@@ -18,9 +18,7 @@ import numpy as np
 from scenerf_tpu import geometry as geo
 from scenerf_tpu.cli import common
 from scenerf_tpu.cli.evaluation import (_add_opts, _bf_val_ds, _kitti_opts,
-                                        _kitti_val_ds, _item_levels,
-                                        make_ray_renderer,
-                                        render_depth_at_pixels)
+                                        _kitti_val_ds, _item_levels)
 from scenerf_tpu.fusion.tsdf import TSDFVolume, tsdf_to_gt_occupancy
 
 
@@ -138,7 +136,6 @@ def generate_novel_depths_bf(root, model_path, recon_save_dir, scale, angle,
 
 
 def _load_sweep_frames(recon_save_dir, sequence, frame_id, rel_poses):
-    from scenerf_tpu.data.calib import read_rgb as _read  # crop-free variant below
     from PIL import Image
 
     depth_dir = os.path.join(recon_save_dir, "depth", sequence)

@@ -18,7 +18,7 @@ interface for tests and smoke runs.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

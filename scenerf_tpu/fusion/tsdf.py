@@ -17,7 +17,7 @@ single XLA launch instead of 63 python calls.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Conventions
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax

@@ -20,7 +20,6 @@ Batch contract (per device, all fixed-shape, ragged structure padded+masked):
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

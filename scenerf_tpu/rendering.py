@@ -14,7 +14,6 @@ XLA lowers them to efficient row gathers from HBM.
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

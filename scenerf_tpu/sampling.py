@@ -15,7 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from scenerf_tpu.geometry import apply_matrix, homogenize, ray_directions, transform_points
+from scenerf_tpu.geometry import apply_matrix, homogenize, transform_points
 
 
 def uniform_sensor_distances(

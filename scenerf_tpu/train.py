@@ -13,8 +13,6 @@ Replaces the reference's pytorch-lightning Trainer + DDP
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

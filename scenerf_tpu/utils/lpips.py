@@ -14,7 +14,7 @@ unit-normalize channels, squared diff, 1x1 calibration conv, spatial mean, sum.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
 import jax
