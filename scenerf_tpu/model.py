@@ -177,7 +177,7 @@ class SceneRF:
         log_keys = ("min_som_vars", "min_stds", "closest_pts_to_depth",
                     "weights_at_depth")
 
-        def per_source(pyramid, src, k):
+        def per_source(pyramid, item_K, item_inv_K, src, k):
             """Losses for one (item, source) pair
             (ref process_single_source, scenerf.py:243-320)."""
             k_pix, k_render, k_noise, k_gt = jax.random.split(k, 4)
@@ -186,7 +186,7 @@ class SceneRF:
                 stride=cfg.pixel_stride, grid_size=cfg.sample_grid_size,
             )
             out = R.render_rays(
-                k_render, pix_source, pyramid, cam_K, src["T_source2infer"],
+                k_render, pix_source, pyramid, item_K, src["T_source2infer"],
                 field_fn, gauss_fn, cfg,
             )
             color_src = geo.sample_pix_features(pix_source, src["img_source"])
@@ -198,7 +198,7 @@ class SceneRF:
             loss_color = jnp.abs(out["color"] - color_src).mean()
             loss_reproj, valid = L.reprojection_loss(
                 k_noise, pix_source, color_src, out["depth"],
-                src["img_target"], inv_K, cam_K, src["T_source2target"],
+                src["img_target"], item_inv_K, item_K, src["T_source2target"],
             )
 
             res = {
@@ -218,7 +218,7 @@ class SceneRF:
                 sg = jax.lax.stop_gradient
                 eval_out = R.render_rays(
                     k_gt, src["gt_pix"],
-                    jax.tree_util.tree_map(sg, pyramid), cam_K,
+                    jax.tree_util.tree_map(sg, pyramid), item_K,
                     sg(src["T_source2infer"]),
                     lambda z, x: sg(field_fn(sg(z), sg(x))),
                     lambda z, x: sg(gauss_fn(sg(z), sg(x))),
@@ -233,10 +233,14 @@ class SceneRF:
 
         def scan_sources(pyramid, item, k):
             keys = jax.random.split(k, S_n)
+            # per-item intrinsics, as the reference uses cam_K[i] for rendering
+            # (ref scenerf.py:158-159) while the encoder shares cam_K[0]
+            item_K = item["cam_K"]
+            item_inv_K = jnp.linalg.inv(item_K)
 
             def body(carry, xs):
                 src, kk = xs
-                res = per_source(pyramid, src, kk)
+                res = per_source(pyramid, item_K, item_inv_K, src, kk)
                 m = src["source_mask"]
                 carry = jax.tree_util.tree_map(
                     lambda c, r: c + m * r, carry, res
