@@ -33,11 +33,13 @@ def load_model(model_path: str, which: str = "best",
     model = SceneRF(cfg)
     trainer = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]),
                       with_depth_eval=False)
-    template = jax.device_get(trainer.create_state(jax.random.PRNGKey(0)))
-    template = jax.tree_util.tree_map(np.asarray, template)
+    # abstract template via eval_shape: no multi-minute eager init just to
+    # learn the tree structure
+    template = jax.eval_shape(trainer.create_state, jax.random.PRNGKey(0))
     if which == "best" and mgr.best() is None:
         which = "last"
     state, _ = mgr.restore(template, which=which)
+    state = jax.device_put(state, jax.devices()[0])
     return model, state, cfg
 
 

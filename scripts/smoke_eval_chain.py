@@ -1,0 +1,59 @@
+"""End-to-end eval/recon chain on the smoke checkpoint + fake KITTI tree:
+save_depth_metrics -> agg -> render_colors -> eval_color ->
+generate_novel_depths -> depth2tsdf -> eval_sr.
+"""
+import os
+import sys
+
+import numpy as np
+
+ROOT = "/tmp/fake_kitti"
+PREP = "/tmp/fake_kitti_prep"
+CKPT = None
+for d in os.listdir("/tmp/fake_run/ckpts"):
+    CKPT = os.path.join("/tmp/fake_run/ckpts", d)
+EVAL = "/tmp/fake_eval"
+RECON = "/tmp/fake_recon"
+
+# ---- fake voxel GT: ground plane (road) + a wall (building) ----
+vox_dir = os.path.join(ROOT, "dataset/sequences/00/voxels")
+os.makedirs(vox_dir, exist_ok=True)
+from scenerf_tpu.data import io_voxel
+
+grid = np.zeros((256, 256, 32), np.uint16)
+grid[:, :, 1:3] = 40          # road at z ~ -1.7m
+grid[:, 168:173, 1:12] = 50   # building wall at y ~ +8m
+labels = grid.reshape(-1)
+invalid = np.zeros(256 * 256 * 32, np.uint8)
+for i in range(0, 24, 5):
+    labels.astype(np.uint16).tofile(f"{vox_dir}/{i:06d}.label")
+    io_voxel.pack(invalid).tofile(f"{vox_dir}/{i:06d}.invalid")
+print("wrote fake voxel GT", flush=True)
+
+common_args = ["--root", ROOT, "--preprocess_root", PREP,
+               "--model_path", CKPT, "--sequence_distance", "2.0",
+               "--frames_interval", "0.4"]
+
+
+def run(cmd, args):
+    print(f"\n==== {cmd.name} ====", flush=True)
+    cmd(args=args, standalone_mode=False)
+
+
+from scenerf_tpu.cli import evaluation as E
+from scenerf_tpu.cli import reconstruction as Rc
+
+run(E.save_depth_metrics, common_args + ["--eval_save_dir", EVAL])
+run(E.agg_depth_metrics, ["--eval_save_dir", EVAL])
+run(E.render_colors, common_args + ["--eval_save_dir", EVAL])
+run(E.eval_color, ["--eval_save_dir", EVAL])
+run(Rc.generate_novel_depths, common_args + [
+    "--eval_save_dir", EVAL, "--recon_save_dir", RECON,
+    "--scale", "2", "--angle", "10.0", "--step", "0.5",
+    "--max_distance", "1.1"])
+run(Rc.depth2tsdf, common_args + [
+    "--eval_save_dir", EVAL, "--recon_save_dir", RECON,
+    "--angle", "10.0", "--step", "0.5", "--max_distance", "1.1"])
+run(E.eval_sr, common_args + ["--eval_save_dir", EVAL,
+                              "--recon_save_dir", RECON])
+print("\nEVAL CHAIN COMPLETE", flush=True)
