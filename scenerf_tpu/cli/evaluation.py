@@ -273,7 +273,6 @@ def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
             if upsample_to is not None:
                 # BF saves renders upsampled back to full resolution
                 # (ref render_colors_bf.py:146-155)
-                import jax.image
                 img = np.asarray(jax.image.resize(
                     jnp.asarray(img), (*upsample_to, 3), method="bilinear"))
             common.save_color_png(render_filepath, img)

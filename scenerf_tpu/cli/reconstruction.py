@@ -25,8 +25,6 @@ from scenerf_tpu.fusion.tsdf import TSDFVolume, tsdf_to_gt_occupancy
 def _upsample_to(img: np.ndarray, out_hw, channels_last=True) -> np.ndarray:
     """Bilinear upsample (align_corners=False) to full resolution
     (ref generate_novel_depths.py:129-142)."""
-    import jax.image
-
     if img.ndim == 2:
         return np.asarray(jax.image.resize(jax.numpy.asarray(img), out_hw,
                                            method="bilinear"))
