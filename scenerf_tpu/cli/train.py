@@ -81,6 +81,8 @@ def run_training(
             step = int(np.asarray(state.step))
             if step % 10 == 0:
                 logger.log(jax.device_get(metrics), step, "train")
+                # LearningRateMonitor parity (ref train_kitti.py:108-109)
+                logger.log_lr(float(trainer.lr_schedule(step)), step)
                 print(f"epoch {epoch} step {step} "
                       f"loss {float(metrics['total_loss']):.4f}")
 

@@ -49,16 +49,20 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg: SceneRFConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    """AdamW with gamma^epoch exponential decay (staircase per epoch),
-    matching the reference's AdamW + ExponentialLR(0.95)."""
-    schedule = optax.exponential_decay(
+def make_lr_schedule(cfg: SceneRFConfig, steps_per_epoch: int):
+    return optax.exponential_decay(
         init_value=cfg.lr,
         transition_steps=max(1, steps_per_epoch),
         decay_rate=cfg.lr_decay_gamma,
         staircase=True,
     )
-    return optax.adamw(schedule, weight_decay=cfg.weight_decay)
+
+
+def make_optimizer(cfg: SceneRFConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW with gamma^epoch exponential decay (staircase per epoch),
+    matching the reference's AdamW + ExponentialLR(0.95)."""
+    return optax.adamw(make_lr_schedule(cfg, steps_per_epoch),
+                       weight_decay=cfg.weight_decay)
 
 
 class Trainer:
@@ -74,6 +78,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = SceneRF(cfg, axis_name=DATA_AXIS)
+        self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
         self.tx = make_optimizer(cfg, steps_per_epoch)
         self.with_depth_eval = with_depth_eval
         self._train_step = self._build_step(train=True)
