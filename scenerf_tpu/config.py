@@ -202,7 +202,7 @@ def bundlefusion(**overrides) -> SceneRFConfig:
         sweep_step=0.2,
         sweep_angle=30.0,
         sweep_max_distance=2.1,
-        ray_chunk=1024,  # divides the published 2048-ray batches
+        ray_chunk=2048,  # one block covers both 1080 and 2048-ray batches
     )
     return cfg.replace(**overrides)
 
