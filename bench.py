@@ -67,16 +67,20 @@ def main():
     setup_compilation_cache()
 
     # bf16 compute (f32 params/optimizer) is the production training config:
-    # it descends identically on the overfit test and is ~30% faster; f32 is
-    # the fallback rung, then half resolution.
+    # it descends identically on the overfit test and is ~30% faster. In bf16
+    # the full-res step fits HBM without encoder remat (recompute saved);
+    # remat rungs are the fallbacks, then f32, then half resolution.
     flagship = C.kitti(n_sources=1, ray_chunk=1200, n_gt_depth=256,
-                       compute_dtype="bfloat16")
-    half = flagship.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200)
+                       compute_dtype="bfloat16", remat_encoder=False)
+    half = flagship.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
+                            remat_encoder=True)
     half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
 
     ladder = [
-        ("kitti-b7-full-bf16", flagship),
-        ("kitti-b7-full-f32", flagship.replace(compute_dtype="float32")),
+        ("kitti-b7-full-bf16-noremat", flagship),
+        ("kitti-b7-full-bf16", flagship.replace(remat_encoder=True)),
+        ("kitti-b7-full-f32", flagship.replace(compute_dtype="float32",
+                                               remat_encoder=True)),
         ("kitti-b7-half-bf16", half),
     ]
     last_err = None
