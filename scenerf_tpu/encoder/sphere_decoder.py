@@ -170,9 +170,14 @@ class DecoderSphere(nn.Module):
         pix: jnp.ndarray,               # [N, 2]
         pix_sphere: jnp.ndarray,        # [N, 2]
         train: bool = False,
+        maps: Dict[int, jnp.ndarray] | None = None,
     ) -> Levels:
         F = self.num_features
-        maps = build_sphere_maps(pix, pix_sphere, self.sphere)
+        if maps is None:
+            # maps depend only on the camera intrinsics; callers on the hot
+            # path precompute them (the in-graph scatter is the single
+            # largest op of the train step otherwise, ~21 ms)
+            maps = build_sphere_maps(pix, pix_sphere, self.sphere)
 
         x32 = nn.Conv(F, (1, 1), dtype=self.dtype, name="conv2")(taps["s32"])
 

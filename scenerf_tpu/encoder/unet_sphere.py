@@ -33,9 +33,9 @@ class UNet2DSphere(nn.Module):
         )
 
     def __call__(self, img: jnp.ndarray, pix: jnp.ndarray, pix_sphere: jnp.ndarray,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 train: bool = False, maps=None) -> Dict[str, jnp.ndarray]:
         taps = self.backbone(img, train=train)
-        return self.decoder(taps, pix, pix_sphere, train=train)
+        return self.decoder(taps, pix, pix_sphere, train=train, maps=maps)
 
     @property
     def d_latent(self) -> int:

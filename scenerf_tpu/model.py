@@ -86,15 +86,31 @@ class SceneRF:
         }
 
     # ---------------------------------------------------------------- encode
+    def compute_sphere_maps(self, cam_K) -> Dict[int, jnp.ndarray]:
+        """Sphere scatter maps for a camera (host-side, once per intrinsics):
+        the in-graph scatter is otherwise the largest single op of the train
+        step (~21 ms/step on v5e)."""
+        from scenerf_tpu.encoder.sphere_decoder import build_sphere_maps
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            inv_K = jnp.linalg.inv(jnp.asarray(cam_K))
+            pix, pix_sphere, _ = geo.sphere_coords_from_pixels(
+                inv_K, self.cfg.sphere, img_size=self.cfg.img_size)
+            maps = build_sphere_maps(pix, pix_sphere, self.cfg.sphere)
+        return {k: jax.device_get(v) for k, v in maps.items()}
+
     def encode(
         self,
         variables: Dict[str, Any],
         img: jnp.ndarray,     # [B, H, W, 3]
         cam_K: jnp.ndarray,   # [3, 3] (shared across the batch, as in the ref)
         train: bool = False,
+        sphere_maps: Optional[Dict[int, jnp.ndarray]] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Run the spherical U-Net; returns (levels dict [B, H_s, W_s, C],
-        updated net_rgb variables)."""
+        updated net_rgb variables). Pass precomputed `sphere_maps` on hot paths
+        (see compute_sphere_maps)."""
         cfg = self.cfg
         inv_K = jnp.linalg.inv(cam_K)
         pix, pix_sphere, _ = geo.sphere_coords_from_pixels(
@@ -104,12 +120,12 @@ class SceneRF:
         if train:
             levels, updates = self.net_rgb.apply(
                 v, img.astype(cfg.dtype), pix, pix_sphere, train=True,
-                mutable=["batch_stats"],
+                maps=sphere_maps, mutable=["batch_stats"],
             )
             new_v = {**v, **updates}
         else:
             levels = self.net_rgb.apply(v, img.astype(cfg.dtype), pix, pix_sphere,
-                                        train=False)
+                                        train=False, maps=sphere_maps)
             new_v = v
         return levels, new_v
 
@@ -154,6 +170,7 @@ class SceneRF:
         key: jax.Array,
         train: bool = True,
         with_depth_eval: bool = True,
+        sphere_maps: Optional[Dict[int, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Full training/validation forward pass (ref scenerf.py:119-241).
 
@@ -168,7 +185,7 @@ class SceneRF:
         inv_K = jnp.linalg.inv(cam_K)
 
         levels, net_rgb_vars = self.encode(variables, batch["img_input"], cam_K,
-                                           train=train)
+                                           train=train, sphere_maps=sphere_maps)
         variables = {**variables, "net_rgb": net_rgb_vars}
         field_fn, gauss_fn = self.field_fns(variables)
 

@@ -17,6 +17,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -81,6 +82,7 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
         self.tx = make_optimizer(cfg, steps_per_epoch)
         self.with_depth_eval = with_depth_eval
+        self._maps_cache: Dict[bytes, Any] = {}
         self._train_step = self._build_step(train=True)
         self._val_step = self._build_step(train=False)
 
@@ -102,7 +104,7 @@ class Trainer:
         model, tx, cfg = self.model, self.tx, self.cfg
         with_depth_eval = self.with_depth_eval
 
-        def per_shard(state: TrainState, batch, key):
+        def per_shard(state: TrainState, batch, key, sphere_maps):
             # fold in step + device INSIDE the program: host-side fold_in is a
             # separate (expensive) dispatch through the runtime per step
             key = jax.random.fold_in(key, state.step)
@@ -113,7 +115,7 @@ class Trainer:
                 variables["net_rgb"]["batch_stats"] = state.batch_stats
                 loss, metrics, new_vars = model.forward(
                     variables, batch, key, train=train,
-                    with_depth_eval=with_depth_eval,
+                    with_depth_eval=with_depth_eval, sphere_maps=sphere_maps,
                 )
                 return loss, (metrics, new_vars["net_rgb"].get("batch_stats"))
 
@@ -137,15 +139,32 @@ class Trainer:
         fn = shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P()),
+            in_specs=(P(), P(DATA_AXIS), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,) if train else ())
 
-    def train_step(self, state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
-        return self._train_step(state, batch, key)
+    # ------------------------------------------------------------- step APIs
+    def _sphere_maps_for(self, batch) -> Dict[int, Any]:
+        """Host-cached sphere scatter maps keyed by the batch's intrinsics."""
+        cam_K = np.asarray(jax.device_get(batch["cam_K"]))[0]
+        key = cam_K.tobytes()
+        maps = self._maps_cache.get(key)
+        if maps is None:
+            maps = self.model.compute_sphere_maps(cam_K)
+            maps = jax.device_put(maps, NamedSharding(self.mesh, P()))
+            self._maps_cache[key] = maps
+        return maps
 
-    def val_step(self, state: TrainState, batch, key) -> Dict:
-        _, metrics = self._val_step(state, batch, key)
+    def train_step(self, state: TrainState, batch, key,
+                   sphere_maps=None) -> Tuple[TrainState, Dict]:
+        if sphere_maps is None:
+            sphere_maps = self._sphere_maps_for(batch)
+        return self._train_step(state, batch, key, sphere_maps)
+
+    def val_step(self, state: TrainState, batch, key, sphere_maps=None) -> Dict:
+        if sphere_maps is None:
+            sphere_maps = self._sphere_maps_for(batch)
+        _, metrics = self._val_step(state, batch, key, sphere_maps)
         return metrics
