@@ -75,8 +75,16 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         steps_per_epoch: int = 1000,
         with_depth_eval: bool = True,
+        ray_parallel: bool = False,
     ):
+        """ray_parallel=True replicates the (small) batch across the mesh and
+        gives every device an independent ray sample of the same items (the
+        per-device RNG fold picks different pixels); gradient pmean then makes
+        one step equivalent to n_devices x n_rays rays per item. Use when the
+        global batch is smaller than the mesh (e.g. the published bs=4 config
+        on a v5e-8)."""
         self.cfg = cfg
+        self.ray_parallel = ray_parallel
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = SceneRF(cfg, axis_name=DATA_AXIS)
         self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
@@ -136,10 +144,11 @@ class Trainer:
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
             return state, metrics
 
+        batch_spec = P() if self.ray_parallel else P(DATA_AXIS)
         fn = shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(), P()),
+            in_specs=(P(), batch_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )

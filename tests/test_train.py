@@ -92,3 +92,34 @@ def test_lr_schedule_decays(cfg):
         sizes.append(float(jnp.abs(upd["w"]).mean()))
     # adamw normalizes, so compare epochs via ratio of step sizes
     assert sizes[11] < sizes[1] * 0.99
+
+
+def test_ray_parallel_mode(cfg):
+    """Ray-parallel: batch replicated across the mesh, per-device ray samples,
+    grads pmean'd -- equivalent to one larger-ray step on the same items."""
+    from scenerf_tpu.parallel.mesh import replicate
+
+    mesh = make_mesh(jax.devices()[:4])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10,
+                      with_depth_eval=False, ray_parallel=True)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch = replicate(make_batch(cfg, batch_size=1), mesh)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # the replicated-batch loss equals the mean of the per-device fold losses
+    m = trainer.val_step(state, batch, jax.random.PRNGKey(2))
+    from scenerf_tpu.model import SceneRF
+    model1 = SceneRF(cfg)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    single = make_batch(cfg, batch_size=1)
+    single = {k: jnp.asarray(v) for k, v in single.items()}
+    for d in range(4):
+        kd = jax.random.fold_in(jax.random.fold_in(key, 1), d)  # step=1
+        loss, _, _ = model1.forward(state.variables(), single, kd, train=False,
+                                    with_depth_eval=False)
+        losses.append(float(loss))
+    np.testing.assert_allclose(float(m["total_loss"]), np.mean(losses),
+                               rtol=2e-3, atol=2e-3)
