@@ -82,8 +82,13 @@ def print_depth_metrics_table(agg_depth_errors: Dict, n_frames: Dict):
             "All     ", *(total[j] / total_frames for j in range(7)), total_frames))
 
 
-def print_color_metrics_table(psnr_accum, ssim_accum, lpips_accum, cnt_accum):
-    """Per-distance novel-view metric table (ref eval_color.py:33-60)."""
+def print_color_metrics_table(psnr_accum, ssim_accum, lpips_accum, cnt_accum,
+                              lpips_enabled=True):
+    """Per-distance novel-view metric table (ref eval_color.py:33-60).
+    With lpips_enabled=False the lpips column prints 'skipped' instead of a
+    misleading 0."""
+    def lp(v):
+        return "{:.6f}".format(v) if lpips_enabled else "skipped "
     print("|distance |psnr |ssim   |lpips     |n_frames|")
     tp = ts = tl = tf = 0.0
     for distance in sorted(psnr_accum):
@@ -91,15 +96,15 @@ def print_color_metrics_table(psnr_accum, ssim_accum, lpips_accum, cnt_accum):
         ts += ssim_accum[distance]
         tl += lpips_accum[distance]
         tf += cnt_accum[distance]
-        print("|{:08d}|{:02.6f}|{:.6f}|{:.6f}|{:.6f}|".format(
+        print("|{:08d}|{:02.6f}|{:.6f}|{}|{:.6f}|".format(
             distance,
             psnr_accum[distance] / cnt_accum[distance],
             ssim_accum[distance] / cnt_accum[distance],
-            lpips_accum[distance] / cnt_accum[distance],
+            lp(lpips_accum[distance] / cnt_accum[distance]),
             cnt_accum[distance]))
     if tf:
-        print("|{}|{:02.6f}|{:.6f}|{:.6f}|{:.6f}|".format(
-            "All     ", tp / tf, ts / tf, tl / tf, tf))
+        print("|{}|{:02.6f}|{:.6f}|{}|{:.6f}|".format(
+            "All     ", tp / tf, ts / tf, lp(tl / tf), tf))
 
 
 def save_depth_visual(path: str, depth: np.ndarray, min_depth=0.1, max_depth=100.0):

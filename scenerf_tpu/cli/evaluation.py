@@ -321,7 +321,15 @@ def _eval_color_impl(eval_save_dir, sequence, resize, skip_frames=(),
     lpips_metric = None
     if lpips_weights:
         from scenerf_tpu.utils.lpips import LPIPS
-        lpips_metric = LPIPS.from_torch_checkpoint(*lpips_weights)
+        if isinstance(lpips_weights, str):  # converted npz
+            lpips_metric = LPIPS.from_npz(lpips_weights)
+        else:  # (vgg_state_path, lpips_state_path) torch dicts
+            lpips_metric = LPIPS.from_torch_checkpoint(*lpips_weights)
+    else:
+        # do NOT silently report 0 -- the reference's lpips column is a
+        # published metric (ref eval_color.py:16-27)
+        print("LPIPS: skipped (no weights supplied -- see "
+              "scripts/convert_lpips_weights.py)")
 
     rgb_dir = os.path.join(eval_save_dir, "rgb", sequence)
     render_dir = os.path.join(eval_save_dir, "render_rgb", sequence)
@@ -350,31 +358,38 @@ def _eval_color_impl(eval_save_dir, sequence, resize, skip_frames=(),
             lpips_a[k] += float(lpips_metric(
                 jnp.asarray((rendered - 0.5) * 2), jnp.asarray((rgb - 0.5) * 2)))
         cnt_a[k] += 1
-    common.print_color_metrics_table(psnr_a, ssim_a, lpips_a, cnt_a)
+    common.print_color_metrics_table(psnr_a, ssim_a, lpips_a, cnt_a,
+                                     lpips_enabled=lpips_metric is not None)
     return psnr_a, ssim_a, lpips_a, cnt_a
 
 
 @click.command()
 @click.option("--eval_save_dir", default="")
+@click.option("--lpips_weights", default="",
+              help="converted lpips npz (scripts/convert_lpips_weights.py)")
 @click.option("--lpips_vgg_path", default="", help="torchvision vgg16 state dict")
 @click.option("--lpips_lin_path", default="", help="lpips linear weights state dict")
-def eval_color(eval_save_dir, lpips_vgg_path, lpips_lin_path):
+def eval_color(eval_save_dir, lpips_weights, lpips_vgg_path, lpips_lin_path):
     """PSNR/SSIM/LPIPS on rendered novel views, grouped by distance
     (ref evaluation/eval_color.py; 407x124 comparisons)."""
     from scenerf_tpu.data.kitti import VAL_ERROR_FRAMES
-    weights = (lpips_vgg_path, lpips_lin_path) if lpips_vgg_path else None
+    weights = lpips_weights or (
+        (lpips_vgg_path, lpips_lin_path) if lpips_vgg_path else None)
     _eval_color_impl(eval_save_dir, "08", (407, 124),
                      skip_frames=VAL_ERROR_FRAMES, lpips_weights=weights)
 
 
 @click.command()
 @click.option("--eval_save_dir", default="")
+@click.option("--lpips_weights", default="",
+              help="converted lpips npz (scripts/convert_lpips_weights.py)")
 @click.option("--lpips_vgg_path", default="")
 @click.option("--lpips_lin_path", default="")
-def eval_color_bf(eval_save_dir, lpips_vgg_path, lpips_lin_path):
-    """BundleFusion novel-view metrics at 320x240
+def eval_color_bf(eval_save_dir, lpips_weights, lpips_vgg_path, lpips_lin_path):
+    """BundleFusion novel-view metrics at full 640x480
     (ref evaluation/eval_color_bf.py)."""
-    weights = (lpips_vgg_path, lpips_lin_path) if lpips_vgg_path else None
+    weights = lpips_weights or (
+        (lpips_vgg_path, lpips_lin_path) if lpips_vgg_path else None)
     # BF compares at full 640x480 (ref eval_color_bf.py:85-91: no resize)
     _eval_color_impl(eval_save_dir, "copyroom", (640, 480),
                      lpips_weights=weights)

@@ -70,15 +70,22 @@ def run_training(
         start_epoch = int(np.asarray(state.step)) // steps_per_epoch
         print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})")
 
+    # host-side mirror of state.step: reading state.step from the device every
+    # iteration would block on each step's completion and serialize the loop
+    # behind the ~30-50 ms dispatch latency; with the mirror the host runs
+    # ahead and the runtime queue pipelines steps back-to-back
+    step = int(np.asarray(state.step))
     for epoch in range(start_epoch, n_epochs):
         t_ep = time.time()
         for bi, batch in enumerate(train_loader):
             if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                 break
-            step_key = jax.random.fold_in(key, int(np.asarray(state.step)))
+            # per-step key derivation happens inside the jitted step
+            # (train.py folds in state.step) -- a host-side fold_in here
+            # would be an extra dispatched program every step
             batch = shard_batch(batch, mesh)
-            state, metrics = trainer.train_step(state, batch, step_key)
-            step = int(np.asarray(state.step))
+            state, metrics = trainer.train_step(state, batch, key)
+            step += 1
             if step % 10 == 0:
                 logger.log(jax.device_get(metrics), step, "train")
                 # LearningRateMonitor parity (ref train_kitti.py:108-109)

@@ -29,10 +29,23 @@ class DataLoader:
         limit_fraction: float = 1.0,
         prefetch: int = 2,
         seed: int = 42,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """process_index/process_count: multi-host input sharding. All
+        processes build the SAME shuffled global order (same seed), then each
+        yields only its contiguous batch_size/process_count slice of every
+        global batch -- the local shard `parallel.mesh.shard_batch_multihost`
+        assembles into the global array. `batch_size` is the GLOBAL batch."""
+        if batch_size % process_count != 0:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"process_count {process_count}")
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
+        self.local_batch_size = batch_size // process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.limit_fraction = limit_fraction
@@ -52,17 +65,27 @@ class DataLoader:
         # limit_train_batches analog: half the train set per epoch
         # (ref train_kitti.py:135,149)
         n = int(len(idx) * self.limit_fraction)
-        return idx[:n]
+        idx = idx[:n]
+        if self.process_count > 1:
+            # keep only this process's slice of each global batch
+            n_full = len(idx) // self.batch_size
+            full = idx[:n_full * self.batch_size].reshape(
+                n_full, self.process_count, self.local_batch_size)
+            idx = full[:, self.process_index].reshape(-1)
+            # (any trailing partial batch is dropped under multi-process:
+            #  per-process shard shapes must agree globally)
+        return idx
 
     def _produce(self, order: Sequence[int], out_q: queue.Queue):
         try:
+            per_batch = self.local_batch_size
             batch_items: List[Dict] = []
             for i in order:
                 batch_items.append(self.dataset[int(i)])
-                if len(batch_items) == self.batch_size:
+                if len(batch_items) == per_batch:
                     out_q.put(self.collate_fn(batch_items))
                     batch_items = []
-            if batch_items and not self.drop_last:
+            if batch_items and not self.drop_last and self.process_count == 1:
                 out_q.put(self.collate_fn(batch_items))
         except Exception as e:  # surface worker errors to the consumer
             out_q.put(e)

@@ -15,17 +15,24 @@ import numpy as np
 from scenerf_tpu.native.build import load
 
 
-def marching_cubes(volume: np.ndarray, level: float = 0.0
+def marching_cubes(volume: np.ndarray, level: float = 0.0,
+                   method: str = "mc",
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract the `level` isosurface of a [X, Y, Z] float volume.
+
+    method="mc" (default) is true marching cubes -- one vertex per crossed
+    cube edge, lewiner-comparable triangle counts; method="tetra" is the
+    6-tet decomposition kept as a table-free cross-check (~2x triangles).
 
     Returns (verts [V, 3] in voxel coords, faces [F, 3] int32,
     normals [V, 3]).
     """
+    mode = {"mc": 0, "tetra": 1}[method]
     lib = load()
-    lib.mc_run.restype = ctypes.c_void_p
-    lib.mc_run.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-                           ctypes.c_int, ctypes.c_int, ctypes.c_float]
+    lib.mc_run2.restype = ctypes.c_void_p
+    lib.mc_run2.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                            ctypes.c_int]
     lib.mc_counts.argtypes = [ctypes.c_void_p,
                               ctypes.POINTER(ctypes.c_int64),
                               ctypes.POINTER(ctypes.c_int64)]
@@ -37,8 +44,8 @@ def marching_cubes(volume: np.ndarray, level: float = 0.0
 
     vol = np.ascontiguousarray(volume, dtype=np.float32)
     nx, ny, nz = vol.shape
-    handle = lib.mc_run(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                        nx, ny, nz, float(level))
+    handle = lib.mc_run2(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         nx, ny, nz, float(level), mode)
     try:
         nv = ctypes.c_int64()
         nf = ctypes.c_int64()

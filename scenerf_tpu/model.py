@@ -171,12 +171,17 @@ class SceneRF:
         train: bool = True,
         with_depth_eval: bool = True,
         sphere_maps: Optional[Dict[int, jnp.ndarray]] = None,
+        item_loop: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Full training/validation forward pass (ref scenerf.py:119-241).
 
         Returns (total_loss, metrics dict, updated variables). Losses are
         summed over valid sources and divided by the local batch size, matching
         the reference accumulation; metric logs are masked means.
+
+        Batch items beyond the first are processed by `lax.map` so program
+        size does not scale with the per-device batch; `item_loop=True` forces
+        the unrolled per-item Python loop (parity testing).
         """
         cfg = self.cfg
         B = batch["img_input"].shape[0]
@@ -282,13 +287,30 @@ class SceneRF:
             return total
 
         item_keys = jax.random.split(key, B)
-        sums = None
         n_valid_sources = batch["source_mask"].sum()
-        for b in range(B):
-            item = {k: v[b] for k, v in batch.items() if k != "img_input"}
-            pyramid = self.pyramid_for_item(levels, b)
-            t = scan_sources(pyramid, item, item_keys[b])
-            sums = t if sums is None else jax.tree_util.tree_map(jnp.add, sums, t)
+        items = {k: v for k, v in batch.items() if k != "img_input"}
+        level_stack = tuple(
+            levels[k] for k in ("1_1", "1_2", "1_4", "1_8", "1_16"))
+        if B == 1 or item_loop:
+            # B=1 (the published per-device batch) inlines the body directly;
+            # item_loop=True keeps the unrolled path for parity testing
+            sums = None
+            for b in range(B):
+                item = jax.tree_util.tree_map(lambda v: v[b], items)
+                pyramid = self.pyramid_for_item(levels, b)
+                t = scan_sources(pyramid, item, item_keys[b])
+                sums = t if sums is None else jax.tree_util.tree_map(
+                    jnp.add, sums, t)
+        else:
+            # lax.map over items: program size and compile time stay constant
+            # in the per-device batch (the loop version re-traces the full
+            # render stack B times)
+            def per_item(args):
+                item, levels_b, k = args
+                return scan_sources(R.FeaturePyramid(levels=levels_b), item, k)
+
+            per_b = jax.lax.map(per_item, (items, level_stack, item_keys))
+            sums = jax.tree_util.tree_map(lambda x: x.sum(0), per_b)
 
         # losses: summed over sources, / bs (ref scenerf.py:203-241)
         totals = {k: sums[k] / B for k in loss_keys}

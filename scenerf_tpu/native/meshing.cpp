@@ -3,13 +3,25 @@
 // Host-side C++ replacement for the reference's skimage marching_cubes_lewiner
 // dependency (ref scenerf/data/utils/fusion.py:341, :368): extracts a
 // triangle mesh of the `level` isosurface with per-vertex gradient normals.
-// Uses a 6-tetrahedra cell decomposition (marching tetrahedra), which needs no
-// 256-entry case table, produces a watertight surface, and dedups vertices via
-// global edge keys. Exposed through a C ABI consumed by ctypes
-// (scenerf_tpu/fusion/meshing.py).
+// Exposed through a C ABI consumed by ctypes (scenerf_tpu/fusion/meshing.py).
+//
+// Two extraction modes:
+//   mode 0 (default): true marching cubes. The 256-case triangle table is
+//     GENERATED at startup rather than transcribed: for each corner-sign
+//     configuration, crossed cube edges are paired per face by the marching-
+//     squares rule (ambiguous 4-crossing faces pair the edges around each
+//     inside corner -- a function of the face's corner signs only, so the two
+//     cells sharing a face always agree => watertight), the pairings are
+//     walked into closed edge cycles, and each cycle is fan-triangulated.
+//     Triangle counts and vertex placement match classic MC (lewiner-
+//     comparable: one vertex per crossed cube edge, ~half the triangles of
+//     marching tetrahedra).
+//   mode 1: 6-tetrahedra cell decomposition (marching tetrahedra), kept as a
+//     table-free cross-check implementation.
 //
 // Build: g++ -O3 -shared -fPIC meshing.cpp -o libscenerf_native.so
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -21,6 +33,109 @@ namespace {
 struct V3 {
   float x, y, z;
 };
+
+// Cube corners: index bit0 = x, bit1 = y, bit2 = z.
+static const int kCornerOff[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {0, 1, 0}, {1, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1},
+};
+
+// The 12 cube edges as corner pairs (all pairs differing in one bit).
+static const int kEdgeCorners[12][2] = {
+    {0, 1}, {2, 3}, {4, 5}, {6, 7},   // x-edges
+    {0, 2}, {1, 3}, {4, 6}, {5, 7},   // y-edges
+    {0, 4}, {1, 5}, {2, 6}, {3, 7},   // z-edges
+};
+
+// The 6 cube faces, corners in cyclic (quad) order.
+static const int kFaceCorners[6][4] = {
+    {0, 2, 6, 4},  // x = 0
+    {1, 3, 7, 5},  // x = 1
+    {0, 1, 5, 4},  // y = 0
+    {2, 3, 7, 6},  // y = 1
+    {0, 1, 3, 2},  // z = 0
+    {4, 5, 7, 6},  // z = 1
+};
+
+// Per-configuration isosurface polygons, as cycles of edge ids. Generated
+// once; orientation is resolved at runtime against the cell gradient.
+struct MCTable {
+  std::vector<std::vector<int>> cycles[256];
+
+  MCTable() {
+    // edge id lookup by corner pair
+    int edge_of[8][8];
+    std::memset(edge_of, -1, sizeof(edge_of));
+    for (int e = 0; e < 12; e++) {
+      edge_of[kEdgeCorners[e][0]][kEdgeCorners[e][1]] = e;
+      edge_of[kEdgeCorners[e][1]][kEdgeCorners[e][0]] = e;
+    }
+
+    for (int cfg = 0; cfg < 256; cfg++) {
+      auto inside = [&](int c) { return (cfg >> c) & 1; };
+      bool crossed[12];
+      for (int e = 0; e < 12; e++)
+        crossed[e] =
+            inside(kEdgeCorners[e][0]) != inside(kEdgeCorners[e][1]);
+
+      // pair crossed edges within each face
+      int partner[12][2];
+      int n_part[12] = {0};
+      auto add_pair = [&](int ea, int eb) {
+        partner[ea][n_part[ea]++] = eb;
+        partner[eb][n_part[eb]++] = ea;
+      };
+      for (int f = 0; f < 6; f++) {
+        const int* fc = kFaceCorners[f];
+        int fe[4];  // face edge j connects corner j -> j+1
+        int k = 0;
+        for (int j = 0; j < 4; j++) {
+          fe[j] = edge_of[fc[j]][fc[(j + 1) % 4]];
+          if (crossed[fe[j]]) k++;
+        }
+        if (k == 2) {
+          int a = -1, b = -1;
+          for (int j = 0; j < 4; j++)
+            if (crossed[fe[j]]) (a < 0 ? a : b) = fe[j];
+          add_pair(a, b);
+        } else if (k == 4) {
+          // ambiguous face (diagonal corners share sign): connect the two
+          // edges around each INSIDE corner -- determined by the face's
+          // corner signs alone, so neighbor cells always agree.
+          if (inside(fc[0])) {
+            add_pair(fe[3], fe[0]);
+            add_pair(fe[1], fe[2]);
+          } else {
+            add_pair(fe[0], fe[1]);
+            add_pair(fe[2], fe[3]);
+          }
+        }
+      }
+
+      // walk pairings into closed cycles
+      bool used[12] = {false};
+      for (int e0 = 0; e0 < 12; e0++) {
+        if (!crossed[e0] || used[e0]) continue;
+        std::vector<int> cyc;
+        int prev = -1, cur = e0;
+        do {
+          cyc.push_back(cur);
+          used[cur] = true;
+          int nxt = (partner[cur][0] == prev) ? partner[cur][1]
+                                              : partner[cur][0];
+          prev = cur;
+          cur = nxt;
+        } while (cur != e0);
+        if (cyc.size() >= 3) cycles[cfg].push_back(std::move(cyc));
+      }
+    }
+  }
+};
+
+const MCTable& mc_table() {
+  static const MCTable table;
+  return table;
+}
 
 struct MeshBuilder {
   std::vector<float> verts;   // xyz triples (voxel-grid coordinates)
@@ -131,7 +246,60 @@ struct MeshBuilder {
     }
   }
 
-  void run() {
+  // -------------------------------------------------- marching cubes (mode 0)
+  void do_cube_mc(int x, int y, int z, const float v[8]) {
+    int cfg = 0;
+    for (int i = 0; i < 8; i++)
+      if (v[i] < level) cfg |= 1 << i;
+    const auto& cycles = mc_table().cycles[cfg];
+    if (cycles.empty()) return;
+
+    // trilinear gradient at the cell center, from the 8 corner values
+    float g[3] = {0.f, 0.f, 0.f};
+    for (int i = 0; i < 8; i++) {
+      g[0] += (i & 1) ? v[i] : -v[i];
+      g[1] += (i & 2) ? v[i] : -v[i];
+      g[2] += (i & 4) ? v[i] : -v[i];
+    }
+
+    for (const auto& cyc : cycles) {
+      // vertex index + position per cycle member
+      int32_t idx[12];
+      V3 p[12];
+      const int n = static_cast<int>(cyc.size());
+      for (int i = 0; i < n; i++) {
+        const int* ec = kEdgeCorners[cyc[i]];
+        int a[3] = {x + kCornerOff[ec[0]][0], y + kCornerOff[ec[0]][1],
+                    z + kCornerOff[ec[0]][2]};
+        int b[3] = {x + kCornerOff[ec[1]][0], y + kCornerOff[ec[1]][1],
+                    z + kCornerOff[ec[1]][2]};
+        idx[i] = edge_vertex(a, b);
+        p[i] = {verts[3 * idx[i]], verts[3 * idx[i] + 1],
+                verts[3 * idx[i] + 2]};
+      }
+      // Newell normal of the (possibly non-planar) polygon; orient the cycle
+      // so the winding normal points along +gradient (inside -> outside),
+      // matching the gradient-based per-vertex normals.
+      float nrm[3] = {0.f, 0.f, 0.f};
+      for (int i = 0; i < n; i++) {
+        const V3& a = p[i];
+        const V3& b = p[(i + 1) % n];
+        nrm[0] += (a.y - b.y) * (a.z + b.z);
+        nrm[1] += (a.z - b.z) * (a.x + b.x);
+        nrm[2] += (a.x - b.x) * (a.y + b.y);
+      }
+      bool flip = nrm[0] * g[0] + nrm[1] * g[1] + nrm[2] * g[2] < 0.f;
+      for (int i = 1; i + 1 < n; i++) {
+        if (flip)
+          emit(idx[0], idx[i + 1], idx[i]);
+        else
+          emit(idx[0], idx[i], idx[i + 1]);
+      }
+    }
+  }
+
+  // ---------------------------------------------- marching tetrahedra (mode 1)
+  void do_cube_tetra(int x, int y, int z) {
     // 6-tet decomposition of the unit cube around the main diagonal 0-7
     // (corner bits = (x, y, z)): every tet contains both diagonal endpoints,
     // so each cube face is split along the diagonal touching corner 0 or 7 --
@@ -142,33 +310,35 @@ struct MeshBuilder {
         {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
         {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
     };
-    static const int corner_off[8][3] = {
-        {0, 0, 0}, {1, 0, 0}, {0, 1, 0}, {1, 1, 0},
-        {0, 0, 1}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1},
-    };
+    for (int t = 0; t < 6; t++) {
+      int c[4][3];
+      for (int i = 0; i < 4; i++) {
+        int corner = tets[t][i];
+        c[i][0] = x + kCornerOff[corner][0];
+        c[i][1] = y + kCornerOff[corner][1];
+        c[i][2] = z + kCornerOff[corner][2];
+      }
+      do_tet(c);
+    }
+  }
 
+  void run(int mode) {
     for (int x = 0; x < nx - 1; x++) {
       for (int y = 0; y < ny - 1; y++) {
         for (int z = 0; z < nz - 1; z++) {
           // fast reject: all 8 corners on one side
+          float v[8];
           bool any_lo = false, any_hi = false;
           for (int i = 0; i < 8; i++) {
-            float v = at(x + corner_off[i][0], y + corner_off[i][1],
-                         z + corner_off[i][2]);
-            if (v < level) any_lo = true; else any_hi = true;
+            v[i] = at(x + kCornerOff[i][0], y + kCornerOff[i][1],
+                      z + kCornerOff[i][2]);
+            if (v[i] < level) any_lo = true; else any_hi = true;
           }
           if (!(any_lo && any_hi)) continue;
-
-          for (int t = 0; t < 6; t++) {
-            int c[4][3];
-            for (int i = 0; i < 4; i++) {
-              int corner = tets[t][i];
-              c[i][0] = x + corner_off[corner][0];
-              c[i][1] = y + corner_off[corner][1];
-              c[i][2] = z + corner_off[corner][2];
-            }
-            do_tet(c);
-          }
+          if (mode == 0)
+            do_cube_mc(x, y, z, v);
+          else
+            do_cube_tetra(x, y, z);
         }
       }
     }
@@ -196,15 +366,21 @@ struct MeshBuilder {
 
 extern "C" {
 
-void* mc_run(const float* vol, int nx, int ny, int nz, float level) {
+// mode: 0 = marching cubes (default), 1 = marching tetrahedra
+void* mc_run2(const float* vol, int nx, int ny, int nz, float level,
+              int mode) {
   auto* mb = new MeshBuilder();
   mb->vol = vol;
   mb->nx = nx;
   mb->ny = ny;
   mb->nz = nz;
   mb->level = level;
-  mb->run();
+  mb->run(mode);
   return mb;
+}
+
+void* mc_run(const float* vol, int nx, int ny, int nz, float level) {
+  return mc_run2(vol, nx, ny, nz, level, 0);
 }
 
 void mc_counts(void* handle, int64_t* nv, int64_t* nf) {

@@ -27,9 +27,28 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Put a host batch onto the mesh, sharded along the leading (item) axis."""
+    """Put a host batch onto the mesh, sharded along the leading (item) axis.
+
+    Single-process: a plain device_put of the full global batch. Multi-host:
+    `batch` is this process's LOCAL shard (DataLoader with process_index/
+    process_count set) and the global array is assembled from per-process
+    shards -- each host feeds only its own devices, DCN carries nothing.
+    """
+    if jax.process_count() > 1:
+        return shard_batch_multihost(batch, mesh)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_batch_multihost(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Assemble global sharded arrays from per-process local batch shards via
+    jax.make_array_from_process_local_data (per-host input feeding; the
+    reference's DDP analog is Lightning's per-rank DataLoader)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

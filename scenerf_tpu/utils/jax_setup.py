@@ -12,7 +12,20 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
 def setup_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache: the heavy encoder graphs
     compile once per machine, then load in seconds on every later process
-    (bench, eval CLIs, resumed training)."""
+    (bench, eval CLIs, resumed training).
+
+    Also honors JAX_PLATFORMS explicitly: environments that preload a platform
+    plugin via sitecustomize (this image registers `axon` there) defeat the
+    env var, so `JAX_PLATFORMS=cpu scenerf-train-kitti ...` would silently run
+    on the accelerator. Re-applying the env var here (before any backend
+    query) restores the documented behavior.
+    """
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except RuntimeError:
+            pass  # backend already initialized; leave it be
     path = path or os.environ.get("SCENERF_JAX_CACHE", _DEFAULT_CACHE)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -22,10 +22,16 @@ _NAMESPACE = {
     "loss_dist2closest_gauss": "{}/loss_dist2closest_gauss",
     "total_loss": "{}/total_loss",
     "min_som_vars": "{}/min_som_vars",
-    "loss_dist2closest": "{}_som/dist_2_closest_gaussian",
     "min_stds": "{}_som/closest_std",
     "closest_pts_to_depth": "{}depth/closest_pts_to_depth",
     "weights_at_depth": "{}depth/weights_at_depth",
+}
+
+# keys the reference logs under a SECOND name as well
+# (ref scenerf.py:233 logs {}/loss_dist2closest_gauss AND :297 logs
+#  {}_som/dist_2_closest_gaussian from the same quantity)
+_ALIASES = {
+    "loss_dist2closest_gauss": "{}_som/dist_2_closest_gaussian",
 }
 
 
@@ -49,6 +55,8 @@ class MetricLogger:
             v = float(np.asarray(v))
             if self.writer is not None:
                 self.writer.add_scalar(scalar_name(k, step_type), v, step)
+                if k in _ALIASES:
+                    self.writer.add_scalar(_ALIASES[k].format(step_type), v, step)
 
     def log_lr(self, lr: float, step: int):
         if self.writer is not None:

@@ -6,8 +6,15 @@ pretrained VGG16 + linear calibration weights; this environment has no network
 egress, so the architecture is implemented natively and weights are loaded from
 a torch state dict on disk when available:
 
+    metric = LPIPS.from_npz(npz_path)  # converted weights (preferred; see
+                                       # scripts/convert_lpips_weights.py)
     metric = LPIPS.from_torch_checkpoint(vgg_path, lpips_path)  # ports weights
     metric = LPIPS.random_init(key)  # architecture only (NOT a valid metric)
+
+Offline weight acquisition (on a machine with network access):
+    python -c "import torchvision; torchvision.models.vgg16(pretrained=True)"
+    pip install lpips && python -c "import lpips; lpips.LPIPS(net='vgg')"
+then save the two state dicts and run scripts/convert_lpips_weights.py.
 
 VGG16 feature taps: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3; per-tap
 unit-normalize channels, squared diff, 1x1 calibration conv, spatial mean, sum.
@@ -76,6 +83,30 @@ class LPIPS:
         vgg = VGG16Features()
         params = vgg.init(key, jnp.zeros((1, 64, 64, 3)))
         lins = [np.ones((ch,), np.float32) / ch for ch, _ in _VGG_STAGES]
+        return cls(params, lins)
+
+    # ------------------------------------------------------------ npz format
+    def to_npz(self, path: str) -> None:
+        """Save as a self-contained npz (conv{i}_kernel/bias + lin{i})."""
+        arrs = {}
+        p = self.vgg_params["params"]
+        for ci in range(len(p)):
+            arrs[f"conv{ci}_kernel"] = np.asarray(p[f"conv{ci}"]["kernel"])
+            arrs[f"conv{ci}_bias"] = np.asarray(p[f"conv{ci}"]["bias"])
+        for i, w in enumerate(self.lin_weights):
+            arrs[f"lin{i}"] = np.asarray(w)
+        np.savez(path, **arrs)
+
+    @classmethod
+    def from_npz(cls, path: str) -> "LPIPS":
+        """Load weights converted by scripts/convert_lpips_weights.py."""
+        z = np.load(path)
+        n_convs = sum(1 for k in z.files if k.endswith("_kernel"))
+        params = {"params": {
+            f"conv{ci}": {"kernel": jnp.asarray(z[f"conv{ci}_kernel"]),
+                          "bias": jnp.asarray(z[f"conv{ci}_bias"])}
+            for ci in range(n_convs)}}
+        lins = [z[f"lin{i}"] for i in range(len(_VGG_STAGES))]
         return cls(params, lins)
 
     @classmethod

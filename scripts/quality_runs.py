@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Training-quality comparison: f32 vs bf16 x 1 vs 2 sources.
+
+Trains the full B7 KITTI model on the synthetic KITTI tree
+(scripts/make_fake_kitti.py) for --steps steps per configuration, evaluating
+val depth abs_rel on held-out lidar-GT frames every --val_every steps.
+Publishes the trajectories as JSON (for docs/PERF.md) so the bench flagship
+(bf16, n_sources) is justified on quality, not just throughput
+(VERDICT round-1 item 3).
+
+Usage (real TPU, ~4 x (compile + steps x ~0.5-0.7 s)):
+    python scripts/make_fake_kitti.py --root /tmp/fq --frames 120 --sequence 00
+    python scripts/make_fake_kitti.py --root /tmp/fq --frames 40 --sequence 08
+    python scripts/quality_runs.py --root /tmp/fq --steps 300 --out /tmp/quality.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def write_val_voxel_anchors(root: str, sequence: str = "08", n: int = 40):
+    """The val split anchors on voxels/*.bin; emit packed occupancy stubs."""
+    from scenerf_tpu.data import io_voxel
+
+    vox_dir = os.path.join(root, "dataset/sequences", sequence, "voxels")
+    os.makedirs(vox_dir, exist_ok=True)
+    labels = np.zeros((256 * 256 * 32,), np.uint16)
+    labels[: 256 * 256 * 2] = 40
+    invalid = np.zeros(256 * 256 * 32, np.uint8)
+    for i in range(0, n, 5):
+        labels.tofile(f"{vox_dir}/{i:06d}.label")
+        io_voxel.pack(invalid).tofile(f"{vox_dir}/{i:06d}.invalid")
+        io_voxel.pack((labels > 0).astype(np.uint8)).tofile(
+            f"{vox_dir}/{i:06d}.bin")
+
+
+def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
+    import jax
+
+    from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
+    from scenerf_tpu.data.loader import DataLoader
+    from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenerf_tpu.train import Trainer
+
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
+                      with_depth_eval=False)
+    state = trainer.create_state(jax.random.PRNGKey(seed))
+    # separate val program with the GT-depth render
+    val_trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
+                          with_depth_eval=True)
+
+    train_ds = KittiDataset("train", root, prep, sequence_distance=10.0,
+                            frames_interval=0.4, n_sources=cfg.n_sources,
+                            n_rays=cfg.n_gt_depth, seed=seed, sequences=["00"])
+    val_ds = KittiDataset("val", root, prep, sequence_distance=10.0,
+                          frames_interval=0.4, n_sources=cfg.n_sources,
+                          n_rays=cfg.n_gt_depth, seed=seed)
+    collate = lambda items: to_model_batch(items, cfg)
+    loader = DataLoader(train_ds, collate, batch_size=1, shuffle=True,
+                        seed=seed)
+    val_batches = [shard_batch(collate([val_ds[i]]), mesh)
+                   for i in range(min(4, len(val_ds)))]
+    print(f"[{tag}] train scans={len(train_ds)} val scans={len(val_ds)}",
+          flush=True)
+
+    def run_val(state):
+        accum = None
+        for bi, vb in enumerate(val_batches):
+            m = jax.device_get(val_trainer.val_step(
+                state, vb, jax.random.PRNGKey(1000 + bi)))
+            accum = m if accum is None else {k: accum[k] + m[k] for k in m}
+        return {k: float(v) / len(val_batches) for k, v in accum.items()}
+
+    key = jax.random.PRNGKey(seed + 1)
+    hist = {"steps": [], "val_abs_rel": [], "val_rmse": [], "train_loss": []}
+    step = 0
+    t0 = time.time()
+    it = iter(loader)
+    v0 = run_val(state)
+    hist["steps"].append(0)
+    hist["val_abs_rel"].append(v0["depth/abs_rel"])
+    hist["val_rmse"].append(v0["depth/rmse"])
+    hist["train_loss"].append(float("nan"))
+    print(f"[{tag}] step 0 val abs_rel {v0['depth/abs_rel']:.4f}", flush=True)
+    while step < steps:
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        state, metrics = trainer.train_step(state, shard_batch(batch, mesh), key)
+        step += 1
+        if step % val_every == 0 or step == steps:
+            v = run_val(state)
+            loss = float(np.asarray(metrics["total_loss"]))
+            hist["steps"].append(step)
+            hist["val_abs_rel"].append(v["depth/abs_rel"])
+            hist["val_rmse"].append(v["depth/rmse"])
+            hist["train_loss"].append(loss)
+            print(f"[{tag}] step {step} loss {loss:.4f} "
+                  f"val abs_rel {v['depth/abs_rel']:.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    hist["wall_s"] = round(time.time() - t0, 1)
+    return hist
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="/tmp/fq")
+    ap.add_argument("--prep", default="/tmp/fq_prep")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--val_every", type=int, default=50)
+    ap.add_argument("--out", default="/tmp/quality.json")
+    ap.add_argument("--configs", default="bf16x1,f32x1,bf16x2,f32x2")
+    args = ap.parse_args()
+
+    from scenerf_tpu import config as C
+    from scenerf_tpu.utils.jax_setup import setup_compilation_cache
+
+    setup_compilation_cache()
+    write_val_voxel_anchors(args.root)
+
+    def make_cfg(dtype, n_sources):
+        return C.kitti(n_sources=n_sources, ray_chunk=1200, n_gt_depth=256,
+                       compute_dtype=dtype,
+                       remat_encoder=(n_sources > 1))
+
+    grid = {
+        "bf16x1": make_cfg("bfloat16", 1),
+        "f32x1": make_cfg("float32", 1).replace(remat_encoder=True),
+        "bf16x2": make_cfg("bfloat16", 2),
+        "f32x2": make_cfg("float32", 2).replace(remat_encoder=True),
+    }
+    results = {}
+    for tag in args.configs.split(","):
+        results[tag] = run_one(tag, grid[tag], args.root, args.prep,
+                               args.steps, args.val_every)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

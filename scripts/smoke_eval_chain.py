@@ -16,7 +16,8 @@ EVAL = "/tmp/fake_eval"
 RECON = "/tmp/fake_recon"
 
 # ---- fake voxel GT: ground plane (road) + a wall (building) ----
-vox_dir = os.path.join(ROOT, "dataset/sequences/00/voxels")
+# (sequence 08 = the KITTI val split the eval CLIs read, data/kitti.SPLITS)
+vox_dir = os.path.join(ROOT, "dataset/sequences/08/voxels")
 os.makedirs(vox_dir, exist_ok=True)
 from scenerf_tpu.data import io_voxel
 
@@ -28,6 +29,9 @@ invalid = np.zeros(256 * 256 * 32, np.uint8)
 for i in range(0, 24, 5):
     labels.astype(np.uint16).tofile(f"{vox_dir}/{i:06d}.label")
     io_voxel.pack(invalid).tofile(f"{vox_dir}/{i:06d}.invalid")
+    # .bin = packed occupancy; the val split anchors on voxels/*.bin
+    io_voxel.pack((labels > 0).astype(np.uint8)).tofile(
+        f"{vox_dir}/{i:06d}.bin")
 print("wrote fake voxel GT", flush=True)
 
 common_args = ["--root", ROOT, "--preprocess_root", PREP,

@@ -109,6 +109,38 @@ def test_dataloader_iteration(kitti_root, tmp_path):
     assert batches[0]["img_input"].shape[0] == 1
 
 
+def test_dataloader_multiprocess_slicing():
+    """Per-process loaders must yield complementary contiguous slices of the
+    single-process global batches (multi-host input feeding)."""
+    items = [{"v": np.array([i], np.int64)} for i in range(17)]
+    collate = lambda its: {"v": np.stack([it["v"] for it in its])}
+    kw = dict(batch_size=4, shuffle=True, seed=5)
+    global_batches = [b["v"][:, 0] for b in DataLoader(items, collate, **kw)]
+    p0 = [b["v"][:, 0] for b in
+          DataLoader(items, collate, process_index=0, process_count=2, **kw)]
+    p1 = [b["v"][:, 0] for b in
+          DataLoader(items, collate, process_index=1, process_count=2, **kw)]
+    assert len(p0) == len(p1) == len(global_batches) == 4
+    for g, a, b in zip(global_batches, p0, p1):
+        np.testing.assert_array_equal(np.concatenate([a, b]), g)
+
+
+def test_shard_batch_multihost_single_process_equivalence():
+    """shard_batch_multihost (jax.make_array_from_process_local_data) must
+    produce the same global array as the device_put path when there is one
+    process (the only case runnable in CI)."""
+    import jax
+    from scenerf_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                           shard_batch_multihost)
+
+    mesh = make_mesh(jax.devices()[:4])
+    batch = {"x": np.arange(4 * 3, dtype=np.float32).reshape(4, 3)}
+    a = shard_batch(batch, mesh)["x"]
+    b = shard_batch_multihost(batch, mesh)["x"]
+    assert b.sharding.spec == a.sharding.spec
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_voxel_io_roundtrip(rng):
     bits = rng.integers(0, 2, size=256).astype(np.uint8)
     packed = io_voxel.pack(bits)

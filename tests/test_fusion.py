@@ -107,9 +107,10 @@ def sphere_sdf(n=24, r=8.0):
     return np.sqrt((g ** 2).sum(0)) - r
 
 
-def test_marching_cubes_sphere():
+@pytest.mark.parametrize("method", ["mc", "tetra"])
+def test_marching_cubes_sphere(method):
     vol = sphere_sdf()
-    verts, faces, norms = marching_cubes(vol, level=0.0)
+    verts, faces, norms = marching_cubes(vol, level=0.0, method=method)
     assert len(verts) > 100 and len(faces) > 100
     c = (vol.shape[0] - 1) / 2
     radii = np.linalg.norm(verts - c, axis=1)
@@ -128,6 +129,44 @@ def test_marching_cubes_sphere():
     assert (counts == 2).all()
     # faces index valid vertices
     assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_marching_cubes_mc_vs_tetra_golden():
+    """True-MC golden checks on an analytic SDF (VERDICT round-1 item 5):
+    lewiner-comparable output -- one vertex per crossed cube edge, roughly
+    half the triangles of marching tetrahedra, tight surface deviation,
+    consistent winding."""
+    vol = sphere_sdf(n=32, r=11.0)
+    v_mc, f_mc, n_mc = marching_cubes(vol, method="mc")
+    v_mt, f_mt, _ = marching_cubes(vol, method="tetra")
+
+    # MC emits a vertex only where the isosurface crosses a CUBE edge:
+    # count crossed lattice edges and require an exact match
+    crossed = 0
+    for axis in range(3):
+        a = vol
+        b = np.roll(vol, -1, axis=axis)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, vol.shape[axis] - 1)
+        crossed += int(((a[tuple(sl)] < 0) != (b[tuple(sl)] < 0)).sum())
+    assert len(v_mc) == crossed
+    # tetra adds interior-diagonal vertices -> strictly more of both
+    assert len(v_mt) > len(v_mc)
+    assert len(f_mt) > 1.5 * len(f_mc)
+
+    # max surface deviation from the analytic sphere (voxel units)
+    c = (vol.shape[0] - 1) / 2
+    dev = np.abs(np.linalg.norm(v_mc - c, axis=1) - 11.0)
+    assert dev.max() < 0.2, dev.max()
+
+    # consistent orientation: winding normals agree with gradient normals
+    tri = v_mc[f_mc]  # [F, 3, 3]
+    wind = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    nrm = np.linalg.norm(wind, axis=1)
+    ok = nrm > 1e-8
+    wind = wind[ok] / nrm[ok, None]
+    vnorm = n_mc[f_mc[ok, 0]]
+    assert (np.sum(wind * vnorm, axis=1) > 0).mean() > 0.99
 
 
 def test_ply_writers(tmp_path):

@@ -118,3 +118,10 @@ def test_scalar_namespace():
     assert scalar_name("depth/abs_rel", "val") == "valdepth/abs_rel"
     assert scalar_name("min_stds", "train") == "train_som/closest_std"
     assert scalar_name("total_loss", "val") == "val/total_loss"
+    # the reference logs dist2closest under BOTH names
+    # (ref scenerf.py:233 and :297)
+    from scenerf_tpu.utils.logging_utils import _ALIASES
+    assert scalar_name("loss_dist2closest_gauss", "train") == \
+        "train/loss_dist2closest_gauss"
+    assert _ALIASES["loss_dist2closest_gauss"].format("val") == \
+        "val_som/dist_2_closest_gaussian"

@@ -106,6 +106,24 @@ def test_overfit_one_batch_loss_decreases(setup):
     assert min(losses[5:]) < losses[0], losses
 
 
+@pytest.mark.parametrize("bs", [2, 3])
+def test_forward_lax_map_matches_item_loop(setup, bs):
+    """The lax.map per-item path (B>1) must match the unrolled Python loop."""
+    cfg, model, variables, _ = setup
+    batch = {k: jnp.asarray(v)
+             for k, v in make_batch(cfg, batch_size=bs).items()}
+    key = jax.random.PRNGKey(7)
+    loss_a, met_a, _ = model.forward(variables, batch, key, train=False,
+                                     with_depth_eval=True, item_loop=True)
+    loss_b, met_b, _ = model.forward(variables, batch, key, train=False,
+                                     with_depth_eval=True, item_loop=False)
+    np.testing.assert_allclose(float(loss_a), float(loss_b),
+                               rtol=1e-5, atol=1e-6)
+    for k in met_a:
+        np.testing.assert_allclose(np.asarray(met_a[k]), np.asarray(met_b[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_render_image(setup):
     cfg, model, variables, batch = setup
     levels, _ = model.encode(variables, batch["img_input"], batch["cam_K"][0])

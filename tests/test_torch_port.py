@@ -1,8 +1,14 @@
-"""Weight-porting test: synthesize a timm-layout torch state dict for
-EfficientNet-B0, port it, and verify the flax backbone consumes it exactly."""
+"""Weight-porting tests: synthesize timm-layout torch state dicts (B0 and the
+full 55-block B7 tree), port them, and verify the flax backbone consumes them
+exactly -- including forward parity against an independent torch
+reimplementation of the gen-efficientnet semantics (TF same padding, swish,
+SE, BN eval; ref scenerf/models/unet2d_sphere.py:209-222 tap indices)."""
+import math
+
 import numpy as np
 import pytest
 import torch
+import torch.nn.functional as tF
 
 from scenerf_tpu.encoder.backbones import (EfficientNet, _STAGES,
                                            round_filters, round_repeats)
@@ -53,6 +59,104 @@ def build_fake_timm_sd(width=1.0, depth=1.0, num_features=1280, seed=0):
             c_in = f_out
     sd["conv_head.weight"] = t(num_features, c_in, 1, 1)
     return sd
+
+
+# --------------------------------------------------------------------------- #
+# torch oracle: independent forward of the gen-efficientnet semantics
+# --------------------------------------------------------------------------- #
+
+
+def _conv2d_same(x, w, stride=1, groups=1):
+    """TF-style SAME padding (asymmetric, extra on bottom/right) -- the `tf_`
+    timm variants use Conv2dSame; flax padding="SAME" has the same rule."""
+    ih, iw = x.shape[-2:]
+    kh, kw = w.shape[-2:]
+    ph = max((math.ceil(ih / stride) - 1) * stride + kh - ih, 0)
+    pw = max((math.ceil(iw / stride) - 1) * stride + kw - iw, 0)
+    x = tF.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+    return tF.conv2d(x, w, stride=stride, groups=groups)
+
+
+def torch_effnet_forward(sd, x, depth):
+    """Eval-mode forward of the timm-layout state dict; returns the tap dict
+    the spherical decoder consumes (stage 0/1/2/4 outputs + conv_head pre-BN,
+    ref unet2d_sphere.py:167-177 indexing features[0,4,5,6,8,11])."""
+    def bn(h, p):
+        return tF.batch_norm(h, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+                             sd[f"{p}.weight"], sd[f"{p}.bias"],
+                             training=False, eps=1e-3)
+
+    def swish(h):
+        return h * torch.sigmoid(h)
+
+    taps = {"s1": x}
+    h = swish(bn(_conv2d_same(x, sd["conv_stem.weight"], stride=2), "bn1"))
+    tap_names = {0: "s2", 1: "s4", 2: "s8", 4: "s16"}
+    for si, (expand, kernel, stride, base_f, base_r) in enumerate(_STAGES):
+        for bi in range(round_repeats(base_r, depth)):
+            p = f"blocks.{si}.{bi}"
+            s = stride if bi == 0 else 1
+            inp = h
+            if expand != 1:
+                h = swish(bn(tF.conv2d(h, sd[f"{p}.conv_pw.weight"]),
+                             f"{p}.bn1"))
+                h = swish(bn(_conv2d_same(h, sd[f"{p}.conv_dw.weight"],
+                                          stride=s, groups=h.shape[1]),
+                             f"{p}.bn2"))
+                proj, pbn = "conv_pwl", "bn3"
+            else:
+                h = swish(bn(_conv2d_same(h, sd[f"{p}.conv_dw.weight"],
+                                          stride=s, groups=h.shape[1]),
+                             f"{p}.bn1"))
+                proj, pbn = "conv_pw", "bn2"
+            se = h.mean((2, 3), keepdim=True)
+            se = swish(tF.conv2d(se, sd[f"{p}.se.conv_reduce.weight"],
+                                 sd[f"{p}.se.conv_reduce.bias"]))
+            se = torch.sigmoid(tF.conv2d(se, sd[f"{p}.se.conv_expand.weight"],
+                                         sd[f"{p}.se.conv_expand.bias"]))
+            h = h * se
+            h = bn(tF.conv2d(h, sd[f"{p}.{proj}.weight"]), f"{p}.{pbn}")
+            if s == 1 and inp.shape[1] == h.shape[1]:
+                h = h + inp
+        if si in tap_names:
+            taps[tap_names[si]] = h
+    taps["s32"] = tF.conv2d(h, sd["conv_head.weight"])
+    return taps
+
+
+@pytest.mark.parametrize("variant,width,depth,nf", [
+    ("b0", 1.0, 1.0, 1280),
+    ("b7", 2.0, 3.1, 2560),   # the full 55-block reference tree
+])
+def test_ported_backbone_matches_torch_forward(variant, width, depth, nf):
+    import jax
+    import jax.numpy as jnp
+
+    sd = build_fake_timm_sd(width=width, depth=depth, num_features=nf, seed=3)
+    # He-ish scaling so 55 random blocks keep unit-ish activations (the fake
+    # BN running stats are random, so unscaled convs would blow up to inf)
+    sd = {k: v / math.sqrt(v[0].numel()) if v.dim() == 4 else v
+          for k, v in sd.items()}
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_effnet_forward(
+            sd, torch.from_numpy(x.transpose(0, 3, 1, 2)), depth)
+
+    ported = port_efficientnet_state_dict(sd)
+    net = EfficientNet(width=width, depth=depth, num_features=nf, remat=False)
+    got = net.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        jnp.asarray(x))
+
+    for k in ("s2", "s4", "s8", "s16", "s32"):
+        w = want[k].numpy().transpose(0, 2, 3, 1)
+        g = np.asarray(got[k])
+        assert np.isfinite(w).all() and np.isfinite(g).all(), k
+        scale = np.abs(w).max() + 1e-6
+        np.testing.assert_allclose(g / scale, w / scale, atol=2e-4,
+                                   err_msg=f"{variant}:{k}")
 
 
 def test_port_b0_state_dict_shapes_and_values():
