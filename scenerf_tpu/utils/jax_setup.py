@@ -22,10 +22,16 @@ def setup_compilation_cache(path: str | None = None) -> None:
     """
     env_platforms = os.environ.get("JAX_PLATFORMS")
     if env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except RuntimeError:
-            pass  # backend already initialized; leave it be
+        # only act when the env asks for a DIFFERENT primary platform than the
+        # config already has: the preloaded default (env "axon", config
+        # "axon,cpu") must keep its cpu fallback backend
+        current = (jax.config.jax_platforms or "").split(",")[0]
+        wanted = env_platforms.split(",")[0]
+        if wanted != current:
+            try:
+                jax.config.update("jax_platforms", env_platforms)
+            except RuntimeError:
+                pass  # backend already initialized; leave it be
     path = path or os.environ.get("SCENERF_JAX_CACHE", _DEFAULT_CACHE)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
