@@ -134,6 +134,11 @@ class SceneRFConfig:
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
     remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
+    pallas_decoder: str = "off"        # "auto" | "on" | "off": fused Pallas
+                                       # convs for the low-channel decoder
+                                       # stages ("auto" = on TPU backends).
+                                       # Default off: measured slower than
+                                       # XLA at round 2 (docs/PERF.md)
 
     # ---------------------------------------------------------------- helpers
     @property

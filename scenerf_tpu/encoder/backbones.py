@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from scenerf_tpu.encoder.norm import FusedBatchNorm
+
 Taps = Dict[str, jnp.ndarray]
 
 # (expand_ratio, kernel, stride, base_filters, base_repeats) per stage -- the
@@ -79,7 +81,7 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         def bn(h, name):
-            return nn.BatchNorm(
+            return FusedBatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
@@ -142,7 +144,7 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Taps:
         def bn(h, name):
-            return nn.BatchNorm(
+            return FusedBatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum, epsilon=self.bn_eps, dtype=self.dtype,
                 axis_name=self.axis_name if train else None, name=name,

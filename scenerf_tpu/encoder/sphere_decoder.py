@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scenerf_tpu.config import SphereConfig
+from scenerf_tpu.encoder.norm import FusedBatchNorm
+from scenerf_tpu.ops import conv_pallas
 from scenerf_tpu import geometry as geo
 
 Levels = Dict[str, jnp.ndarray]
@@ -103,23 +105,74 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jn
     return jnp.einsum("pw,...hwc->...hpc", Mx, x)
 
 
+class Conv3x3Params(nn.Module):
+    """Parameter holder matching nn.Conv's tree (kernel/bias, same init) so
+    the Pallas path shares checkpoints with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, c_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _batched_fused_conv(x, k, b, mul, add, dilation, interpret, use_xla):
+    """fused_affine_conv3x3 over a batched [B, H, W, C] input (B is 1 on the
+    flagship config; unrolled otherwise). `use_xla` routes through the
+    reference implementation -- module init runs on the host CPU where the
+    compiled Pallas path is unavailable."""
+    if use_xla:
+        op = lambda xi: conv_pallas.xla_reference(xi, k, b, mul, add,
+                                                  dilation=dilation)
+    else:
+        op = lambda xi: conv_pallas.fused_affine_conv3x3(
+            xi, k, b, mul, add, dilation=dilation, interpret=interpret)
+    outs = [op(x[i]) for i in range(x.shape[0])]
+    return outs[0][None] if len(outs) == 1 else jnp.stack(outs)
+
+
 class BasicBlock(nn.Module):
-    """Dilated residual conv block (ref unet2d_sphere.py:9-34)."""
+    """Dilated residual conv block (ref unet2d_sphere.py:9-34).
+
+    `pallas=True` runs the two convs as fused Pallas kernels
+    (ops/conv_pallas.py): conv2's BatchNorm+leaky-relu prologue is applied
+    inside the kernel, and only the raw conv outputs touch HBM. Parameters
+    and BatchNorm variables are identical between the two paths.
+    """
 
     channels: int
     dilation: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    pallas: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        def bn(h, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype,
-                                axis_name=self.axis_name if train else None,
-                                name=name)(h)
+        def bn(h, name, return_affine=False):
+            return FusedBatchNorm(use_running_average=not train, momentum=0.9,
+                                  epsilon=1e-5, dtype=self.dtype,
+                                  axis_name=self.axis_name if train else None,
+                                  return_affine=return_affine, name=name)(h)
 
         d = self.dilation
+        if self.pallas:
+            k1, b1 = Conv3x3Params(self.channels, name="conv1")(x.shape[-1])
+            k2, b2 = Conv3x3Params(self.channels, name="conv2")(self.channels)
+            init = self.is_initializing()
+            h1 = _batched_fused_conv(x, k1, b1, None, None, d,
+                                     self.interpret, init)
+            m1, a1 = bn(h1, "bn1", return_affine=True)
+            h2 = _batched_fused_conv(h1, k2, b2, m1, a1, d,
+                                     self.interpret, init)
+            m2, a2 = bn(h2, "bn2", return_affine=True)
+            dt = self.dtype
+            return nn.leaky_relu(h2 * m2.astype(dt) + a2.astype(dt) + x)
+
         h = nn.Conv(self.channels, (3, 3), kernel_dilation=(d, d), padding="SAME",
                     dtype=self.dtype, name="conv1")(x)
         h = nn.leaky_relu(bn(h, "bn1"))
@@ -136,16 +189,26 @@ class UpSampleBN(nn.Module):
     channels: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    pallas: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         up = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
         h = jnp.concatenate([up, skip], axis=-1)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="conv")(h)
+        if self.pallas:
+            k0, b0 = Conv3x3Params(self.channels, name="conv")(h.shape[-1])
+            h = _batched_fused_conv(h.astype(self.dtype), k0, b0, None, None,
+                                    1, self.interpret,
+                                    self.is_initializing())
+        else:
+            h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="conv")(h)
         for i, d in enumerate((1, 2, 3)):
             h = BasicBlock(self.channels, d, dtype=self.dtype,
-                           axis_name=self.axis_name, name=f"block{i}")(h, train=train)
+                           axis_name=self.axis_name, pallas=self.pallas,
+                           interpret=self.interpret,
+                           name=f"block{i}")(h, train=train)
         return h
 
 
@@ -162,6 +225,9 @@ class DecoderSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
+    pallas: bool = False        # fused Pallas convs for the low-channel stages
+    pallas_interpret: bool = False
+    pallas_max_ch: int = 160    # stages with channels <= this use Pallas
 
     @nn.compact
     def __call__(
@@ -191,13 +257,18 @@ class DecoderSphere(nn.Module):
             32: gather(x32, maps[32]),
         }
 
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         up_cls = nn.remat(UpSampleBN, static_argnums=(3,)) if self.remat else UpSampleBN
-        x_1_16 = up_cls(F // 2, name="up16", **kw)(sph[32], sph[16], train)
-        x_1_8 = up_cls(F // 4, name="up8", **kw)(x_1_16, sph[8], train)
-        x_1_4 = up_cls(F // 8, name="up4", **kw)(x_1_8, sph[4], train)
-        x_1_2 = up_cls(F // 16, name="up2", **kw)(x_1_4, sph[2], train)
-        x_1_1 = up_cls(F // 32, name="up1", **kw)(x_1_2, sph[1], train)
+
+        def kw(ch):
+            pallas = self.pallas and ch <= self.pallas_max_ch
+            return dict(dtype=self.dtype, axis_name=self.axis_name,
+                        pallas=pallas, interpret=self.pallas_interpret)
+
+        x_1_16 = up_cls(F // 2, name="up16", **kw(F // 2))(sph[32], sph[16], train)
+        x_1_8 = up_cls(F // 4, name="up8", **kw(F // 4))(x_1_16, sph[8], train)
+        x_1_4 = up_cls(F // 8, name="up4", **kw(F // 8))(x_1_8, sph[4], train)
+        x_1_2 = up_cls(F // 16, name="up2", **kw(F // 16))(x_1_4, sph[2], train)
+        x_1_1 = up_cls(F // 32, name="up1", **kw(F // 32))(x_1_2, sph[1], train)
 
         return {"1_1": x_1_1, "1_2": x_1_2, "1_4": x_1_4, "1_8": x_1_8,
                 "1_16": x_1_16}

@@ -54,6 +54,10 @@ class SceneRF:
                 f"n_gt_depth={cfg.n_gt_depth} must be a multiple of "
                 f"eval_ray_chunk={cfg.eval_ray_chunk} (or fit in one chunk)")
         self.cfg = cfg
+        if cfg.pallas_decoder == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        else:
+            use_pallas = cfg.pallas_decoder == "on"
         self.net_rgb = UNet2DSphere(
             backbone_name=cfg.encoder,
             num_features=cfg.encoder_features,
@@ -61,6 +65,8 @@ class SceneRF:
             dtype=cfg.dtype,
             axis_name=axis_name,
             remat=cfg.remat_encoder,
+            pallas_decoder=use_pallas,
+            pallas_interpret=use_pallas and jax.default_backend() != "tpu",
         )
         self.d_latent = decoder_latent_dim(cfg.encoder_features)
         self.mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden,
