@@ -66,21 +66,27 @@ def main():
 
     setup_compilation_cache()
 
-    # bf16 compute (f32 params/optimizer) is the production training config:
-    # it descends identically on the overfit test and is ~30% faster. In bf16
-    # the full-res step fits HBM without encoder remat (recompute saved);
-    # remat rungs are the fallbacks, then f32, then half resolution.
-    flagship = C.kitti(n_sources=1, ray_chunk=1200, n_gt_depth=256,
+    # bf16 compute (f32 params/optimizer) with n_sources=2 is the production
+    # training config: paired 300-step synthetic-KITTI runs (docs/PERF.md,
+    # scripts/quality_runs.py) show bf16 matches-or-beats f32 val abs_rel at
+    # both source counts, and the 2-source step reaches better val abs_rel
+    # per step than 1-source while amortizing the encoder over 2x the
+    # supervision rays. Fallback rungs: 1-source bf16 (no remat), then
+    # remat, then f32, then half resolution.
+    flagship = C.kitti(n_sources=2, ray_chunk=1200, n_gt_depth=256,
                        compute_dtype="bfloat16", remat_encoder=False)
-    half = flagship.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
-                            remat_encoder=True)
+    single = flagship.replace(n_sources=1)
+    half = single.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
+                          remat_encoder=True)
     half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
 
     ladder = [
-        ("kitti-b7-full-bf16-noremat", flagship),
-        ("kitti-b7-full-bf16", flagship.replace(remat_encoder=True)),
-        ("kitti-b7-full-f32", flagship.replace(compute_dtype="float32",
-                                               remat_encoder=True)),
+        ("kitti-b7-full-bf16-2src", flagship),
+        ("kitti-b7-full-bf16-2src-remat", flagship.replace(remat_encoder=True)),
+        ("kitti-b7-full-bf16-noremat", single),
+        ("kitti-b7-full-bf16", single.replace(remat_encoder=True)),
+        ("kitti-b7-full-f32", single.replace(compute_dtype="float32",
+                                             remat_encoder=True)),
         ("kitti-b7-half-bf16", half),
     ]
     last_err = None

@@ -17,7 +17,7 @@ import numpy as np
 
 from scenerf_tpu import config as CFG
 from scenerf_tpu.data.loader import DataLoader
-from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+from scenerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from scenerf_tpu.train import Trainer
 from scenerf_tpu.utils.checkpoint import CheckpointManager
 from scenerf_tpu.utils.jax_setup import setup_compilation_cache
@@ -37,13 +37,23 @@ def run_training(
     global_batch_size: int = 1,
     seed: int = 42,
     max_steps_per_epoch: int | None = None,
+    parallel_mode: str = "data",
 ):
-    """Shared epoch loop (ref train_kitti.py:104-158)."""
+    """Shared epoch loop (ref train_kitti.py:104-158).
+
+    parallel_mode: "data" shards batch items over the mesh (DDP parity,
+    ref train_kitti.py:130-139); "ray_parallel" replicates items and gives
+    each device an independent ray sample; "ray_shard" replicates items and
+    splits each item's rays across the mesh (see train.Trainer).
+    """
     setup_compilation_cache()
-    # mesh over the largest device count that divides the global batch
     devices = jax.devices()
-    n_dev = next(k for k in range(min(len(devices), global_batch_size), 0, -1)
-                 if global_batch_size % k == 0)
+    if parallel_mode == "data":
+        # mesh over the largest device count that divides the global batch
+        n_dev = next(k for k in range(min(len(devices), global_batch_size),
+                                      0, -1) if global_batch_size % k == 0)
+    else:  # ray modes use the whole mesh regardless of batch size
+        n_dev = len(devices)
     mesh = make_mesh(devices[:n_dev])
 
     train_loader = DataLoader(train_ds, collate, batch_size=global_batch_size,
@@ -55,7 +65,9 @@ def run_training(
     steps_per_epoch = max(1, len(train_loader))
     if max_steps_per_epoch is not None:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
-    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch,
+                      ray_parallel=parallel_mode == "ray_parallel",
+                      ray_shard=parallel_mode == "ray_shard")
 
     ckpt_dir = os.path.join(logdir, "ckpts", exp_name)
     mgr = CheckpointManager(ckpt_dir, monitor="depth/abs_rel", mode="min")
@@ -83,7 +95,8 @@ def run_training(
             # per-step key derivation happens inside the jitted step
             # (train.py folds in state.step) -- a host-side fold_in here
             # would be an extra dispatched program every step
-            batch = shard_batch(batch, mesh)
+            batch = (shard_batch(batch, mesh) if parallel_mode == "data"
+                     else replicate(batch, mesh))
             state, metrics = trainer.train_step(state, batch, key)
             step += 1
             if step % 10 == 0:
@@ -98,7 +111,8 @@ def run_training(
         for bi, batch in enumerate(val_loader):
             if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                 break
-            batch = shard_batch(batch, mesh)
+            batch = (shard_batch(batch, mesh) if parallel_mode == "data"
+                     else replicate(batch, mesh))
             val_key = jax.random.fold_in(jax.random.fold_in(key, 0x5EED), bi)
             m = jax.device_get(trainer.val_step(state, batch, val_key))
             val_metrics_acc = m if val_metrics_acc is None else {
@@ -146,12 +160,16 @@ def run_training(
 @click.option("--max_steps_per_epoch", default=None, type=int)
 @click.option("--sequences", default="", help="comma list overriding the train split")
 @click.option("--val_sequences", default="", help="comma list overriding the val split")
+@click.option("--parallel_mode", default="data",
+              type=click.Choice(["data", "ray_parallel", "ray_shard"]),
+              help="mesh strategy: shard items / per-device ray samples / "
+                   "split each item's rays across the mesh")
 def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
                 weight_decay, n_epochs, enable_log, sequence_distance,
                 frames_interval, n_gaussians, n_pts_per_gaussian, n_pts_uni,
                 n_gt_depth, std, add_fov_hor, add_fov_ver, sphere_w, sphere_h,
                 som_sigma, max_sample_depth, encoder, exp_prefix, compute_dtype,
-                max_steps_per_epoch, sequences, val_sequences):
+                max_steps_per_epoch, sequences, val_sequences, parallel_mode):
     """Train SceneRF on SemanticKITTI (ref scenerf/scripts/train_kitti.py)."""
     from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
 
@@ -185,7 +203,8 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
     collate = lambda items: to_model_batch(items, cfg)
     run_training(cfg, train_ds, val_ds, collate, exp_name, logdir, n_epochs,
                  enable_log, limit_train_fraction=0.5, global_batch_size=bs,
-                 max_steps_per_epoch=max_steps_per_epoch)
+                 max_steps_per_epoch=max_steps_per_epoch,
+                 parallel_mode=parallel_mode)
 
 
 @click.command()
@@ -211,11 +230,13 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
 @click.option("--exp_prefix", default="exp")
 @click.option("--compute_dtype", default="float32")
 @click.option("--max_steps_per_epoch", default=None, type=int)
+@click.option("--parallel_mode", default="data",
+              type=click.Choice(["data", "ray_parallel", "ray_shard"]))
 def train_bundlefusion(root, logdir, bs, n_rays, n_sources, lr, weight_decay,
                        n_epochs, enable_log, frame_interval, n_frames,
                        n_gaussians, n_pts_per_gaussian, n_pts_uni, n_gt_depth,
                        std, som_sigma, sample_grid_size, encoder, exp_prefix,
-                       compute_dtype, max_steps_per_epoch):
+                       compute_dtype, max_steps_per_epoch, parallel_mode):
     """Train SceneRF on BundleFusion (ref scenerf/scripts/train_bundlefusion.py)."""
     from scenerf_tpu.data.bundlefusion import BundlefusionDataset, to_model_batch
 
@@ -239,7 +260,8 @@ def train_bundlefusion(root, logdir, bs, n_rays, n_sources, lr, weight_decay,
     collate = lambda items: to_model_batch(items, cfg)
     run_training(cfg, train_ds, val_ds, collate, exp_name, logdir, n_epochs,
                  enable_log, limit_train_fraction=1.0, global_batch_size=bs,
-                 max_steps_per_epoch=max_steps_per_epoch)
+                 max_steps_per_epoch=max_steps_per_epoch,
+                 parallel_mode=parallel_mode)
 
 
 if __name__ == "__main__":

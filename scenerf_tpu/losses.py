@@ -54,9 +54,18 @@ def reprojection_loss(
     return jnp.minimum(loss_re, loss_id), valid
 
 
-def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-8,
+                axis_name: str | None = None) -> jnp.ndarray:
+    """Mean of x over mask. With `axis_name`, numerator and denominator are
+    psum'd across the mesh axis first, so sharded rays reproduce the exact
+    unsharded masked mean (valid counts can differ per shard)."""
     m = mask.astype(x.dtype)
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), eps)
+    num = jnp.sum(x * m)
+    den = jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, eps)
 
 
 def dist2closest_gaussian(

@@ -54,6 +54,7 @@ class SceneRF:
                 f"n_gt_depth={cfg.n_gt_depth} must be a multiple of "
                 f"eval_ray_chunk={cfg.eval_ray_chunk} (or fit in one chunk)")
         self.cfg = cfg
+        self.axis_name = axis_name
         if cfg.pallas_decoder == "auto":
             use_pallas = jax.default_backend() == "tpu"
         else:
@@ -178,6 +179,7 @@ class SceneRF:
         with_depth_eval: bool = True,
         sphere_maps: Optional[Dict[int, jnp.ndarray]] = None,
         item_loop: bool = False,
+        ray_shard_n: int = 1,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Full training/validation forward pass (ref scenerf.py:119-241).
 
@@ -188,6 +190,12 @@ class SceneRF:
         Batch items beyond the first are processed by `lax.map` so program
         size does not scale with the per-device batch; `item_loop=True` forces
         the unrolled per-item Python loop (parity testing).
+
+        `ray_shard_n > 1` shards each item's n_rays across the mesh axis
+        (SURVEY 2.2's "shard the ray batch across chips"): every device
+        samples the same pixel set, renders its 1/n slice, and the masked
+        reprojection mean psums numerator/denominator so one step keeps the
+        exact unsharded ray-batch semantics.
         """
         cfg = self.cfg
         B = batch["img_input"].shape[0]
@@ -213,6 +221,15 @@ class SceneRF:
                 k_pix, cfg.n_rays, cfg.img_size[0], cfg.img_size[1],
                 stride=cfg.pixel_stride, grid_size=cfg.sample_grid_size,
             )
+            if ray_shard_n > 1:
+                # same pixel set on every device (k_pix unfolded), each
+                # device renders its slice; per-shard noise keys diverge
+                nr = cfg.n_rays // ray_shard_n
+                idx = jax.lax.axis_index(self.axis_name)
+                pix_source = jax.lax.dynamic_slice(
+                    pix_source, (idx * nr, 0), (nr, 2))
+                k_render = jax.random.fold_in(k_render, idx)
+                k_noise = jax.random.fold_in(k_noise, idx)
             out = R.render_rays(
                 k_render, pix_source, pyramid, item_K, src["T_source2infer"],
                 field_fn, gauss_fn, cfg,
@@ -230,7 +247,9 @@ class SceneRF:
             )
 
             res = {
-                "loss_reprojection": L.masked_mean(loss_reproj, valid),
+                "loss_reprojection": L.masked_mean(
+                    loss_reproj, valid,
+                    axis_name=self.axis_name if ray_shard_n > 1 else None),
                 "loss_color": loss_color,
                 "loss_kl": out["loss_kl"].mean(),
                 "loss_dist2closest_gauss": d2g["loss_dist2closest_gauss"].mean(),

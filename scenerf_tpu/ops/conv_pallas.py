@@ -21,15 +21,20 @@ dadd across the sequential TPU grid).
 BatchNorm statistics of `h` stay outside as plain XLA reductions, so
 autodiff through the stats path (full training-BN backward) is untouched.
 
-TPU mapping notes:
+TPU mapping notes (each measured, see docs/PERF.md):
 * full-width row strips: the last two block dims must be (8,128)-divisible
   or span the array, so blocks are [rows, W, C] with a dilation-sized row
   halo (`pl.Element` high padding over an XLA-prepadded top margin -- the
   toolchain rejects low Element padding).
-* row taps: `fori_loop` over ky with dynamic dim-0 ref slices (leading dims
-  are alignment-free; a fully unrolled 9-tap loop blows the VMEM stack).
-* column taps: `pltpu.roll` with static shifts + edge masks (sublane-dim
-  dynamic slices would need 8-aligned starts, which dilations 1..3 aren't).
+* column taps are materialized once as a channel-concatenated [.., W, 3C]
+  scratch (static slice+concat shifts; pltpu.roll has no bf16 path and
+  sublane-dim dynamic slices need 8-aligned starts, which dilations 1..3
+  aren't). This turns the nine K=C dots into three K=3C dots per strip --
+  the decisive optimization: K=80 dots run the MXU at ~12 TF/s on v5e,
+  K=240 at ~2x that, and shifts/masks/prologue are all noise (<5%).
+* row taps are python-unrolled static ref slices (a fori_loop tap loop
+  alone costs ~40% extra; a fully unrolled 9-tap loop with per-tap shift
+  temporaries blows the Mosaic VMEM stack).
 * halo rows outside the image are masked in-kernel (zero-padded SAME conv,
   torch Conv2d parity).
 """
@@ -51,10 +56,14 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # per-buffer-set budget (the Mosaic stack
 
 
 def _pick_th(H, W, cin, cout, d, itemsize, bwd):
-    """Rows per strip: biggest power-of-two strip whose working set fits."""
+    """Rows per strip: biggest power-of-two strip whose working set fits.
+
+    The channel-concatenated tap scratches (3*Cin / 3*Cout wide) plus a few
+    strip-sized temporaries dominate the Mosaic VMEM stack.
+    """
+    mult = (5 * cin + 5 * cout) if bwd else (5 * cin + cout)
     for th in (32, 16, 8, 4):
-        per_row = W * (cin + cout) * itemsize * (3 if bwd else 2)
-        if (th + 2 * d) * per_row <= _VMEM_BUDGET or th == 4:
+        if (th + 2 * d) * W * mult * itemsize <= _VMEM_BUDGET or th == 4:
             return th
     return 4
 
@@ -85,28 +94,25 @@ def _fwd_kernel(u_ref, mul_ref, add_ref, w_ref, b_ref, h_ref, t_ref,
         t = jnp.where(t.astype(jnp.float32) >= 0, t, NEG_SLOPE * t)
     else:
         t = blk
-    t_ref[:] = jnp.where(mask, t, jnp.zeros_like(t))
+    t = jnp.where(mask, t, jnp.zeros_like(t))
+    # stage the column taps channel-concatenated: the three column shifts
+    # become one K=3*Cin contraction per row tap (small-K dots are the
+    # bottleneck: K=C runs the MXU at a fraction of its K=3C rate)
+    t_ref[:] = jnp.concatenate(
+        [_shift_cols(t, -d, W), t, _shift_cols(t, d, W)], axis=-1)
 
-    Cin = blk.shape[-1]
     Cout = w_ref.shape[-1]
-
-    def row_tap(ky, acc):
-        rows = t_ref[pl.ds(ky * d, th), :, :]
-        for kx in range(3):
-            ts = _shift_cols(rows, (kx - 1) * d, W)
-            wk = w_ref[pl.ds(ky, 1), kx, :, :].reshape(Cin, Cout)
-            acc = acc + lax.dot_general(
-                ts, wk,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return acc
-
-    acc = lax.fori_loop(0, 3, row_tap, jnp.zeros((th, W, Cout), jnp.float32))
-    acc = acc + b_ref[0][None, None, :]
+    acc = b_ref[0][None, None, :] * jnp.ones((th, 1, 1), jnp.float32)
+    for ky in range(3):  # unrolled: fori_loop alone costs ~40% extra
+        rows = t_ref[ky * d:ky * d + th, :, :]
+        acc = acc + lax.dot_general(
+            rows, w_ref[ky],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     h_ref[:] = acc.astype(h_ref.dtype)
 
 
-def _bwd_kernel(dh_ref, u_ref, mul_ref, add_ref, w_ref,
+def _bwd_kernel(dh_ref, u_ref, mul_ref, add_ref, wt_ref,
                 du_ref, dw_ref, db_ref, dmul_ref, dadd_ref,
                 t_ref, dp_ref,
                 *, H, W, th, d, prologue):
@@ -123,7 +129,11 @@ def _bwd_kernel(dh_ref, u_ref, mul_ref, add_ref, w_ref,
     dblk = dh_ref[:]  # [th+2d, W, Cout]
     gy = lax.broadcasted_iota(jnp.int32, ublk.shape[:2] + (1,), 0) + i * th - d
     mask = (gy >= 0) & (gy < H)
-    dp_ref[:] = jnp.where(mask, dblk, jnp.zeros_like(dblk))
+    dp = jnp.where(mask, dblk, jnp.zeros_like(dblk))
+    # channel-concatenated column taps (see _fwd_kernel): dcat block kx
+    # holds dh shifted by -(kx-1)*d, matching wt_ref's [3*Cout, Cin] rows
+    dp_ref[:] = jnp.concatenate(
+        [_shift_cols(dp, d, W), dp, _shift_cols(dp, -d, W)], axis=-1)
 
     if prologue:
         pre = ublk * mul_ref[0][None, None, :] + add_ref[0][None, None, :]
@@ -131,34 +141,30 @@ def _bwd_kernel(dh_ref, u_ref, mul_ref, add_ref, w_ref,
         t = jnp.where(pre.astype(jnp.float32) >= 0, pre, NEG_SLOPE * pre)
     else:
         t = ublk
-    t_ref[:] = jnp.where(mask, t, jnp.zeros_like(t))
+    t = jnp.where(mask, t, jnp.zeros_like(t))
+    t_ref[:] = jnp.concatenate(
+        [_shift_cols(t, -d, W), t, _shift_cols(t, d, W)], axis=-1)
 
     Cin = ublk.shape[-1]
     Cout = dblk.shape[-1]
-    dh_int = dp_ref[d:d + th, :, :]
+    # interior mask from a fresh iota + ref reads: slicing a (*, W, 1) VALUE
+    # trips a Mosaic compiler assert, so never slice the halo'd mask/values
+    gy_int = lax.broadcasted_iota(jnp.int32, (th, W, 1), 0) + i * th
+    m_int = gy_int < H
+    dh_int = jnp.where(m_int, dh_ref[d:d + th, :, :], 0).astype(dblk.dtype)
 
     # input gradient: dt = conv_transpose(dh, W) at interior positions
-    def row_tap_dt(ky, acc):
-        rows = dp_ref[pl.ds((2 - ky) * d, th), :, :]
-        for kx in range(3):
-            ds_ = _shift_cols(rows, -(kx - 1) * d, W)
-            wk = w_ref[pl.ds(ky, 1), kx, :, :].reshape(Cin, Cout)
-            acc = acc + lax.dot_general(
-                ds_, wk,
-                dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return acc
-
-    dt = lax.fori_loop(0, 3, row_tap_dt,
-                       jnp.zeros((th, W, Cin), jnp.float32))
+    dt = jnp.zeros((th, W, Cin), jnp.float32)
+    for ky in range(3):
+        rows = dp_ref[(2 - ky) * d:(2 - ky) * d + th, :, :]
+        dt = dt + lax.dot_general(
+            rows, wt_ref[ky],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # the transposed conv produces nonzero cotangents in the zero-padding
     # ring (rows outside the image); padding has no gradient, so mask before
-    # ANY use -- including the dmul/dadd reductions.
-    # (fresh interior iota + ref reads: slicing a (*, W, 1) VALUE trips a
-    # Mosaic compiler assert, so never slice the halo'd mask/values)
-    gy_int = lax.broadcasted_iota(jnp.int32, (th, W, 1), 0) + i * th
-    m_int = gy_int < H
+    # ANY use -- including the dmul/dadd reductions
     dt = jnp.where(m_int, dt, 0.0)
     if prologue:
         u_int_raw = u_ref[d:d + th, :, :]
@@ -173,22 +179,15 @@ def _bwd_kernel(dh_ref, u_ref, mul_ref, add_ref, w_ref,
         du = dt
     du_ref[:] = du.astype(du_ref.dtype)
 
-    # weight gradient: dW[ky,kx] += t_shift^T @ dh over this strip
+    # weight gradient: dwcat[ky] += tcat_rows^T @ dh over this strip
     # (2-D reshape: Mosaic's matmul supports single contracting dims only)
     dh2 = dh_int.reshape(th * W, Cout)
-
-    def row_tap_dw(ky, _):
-        rows = t_ref[pl.ds(ky * d, th), :, :]
-        for kx in range(3):
-            ts = _shift_cols(rows, (kx - 1) * d, W)
-            dwk = lax.dot_general(
-                ts.reshape(th * W, Cin), dh2,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dw_ref[pl.ds(ky, 1), kx, :, :] += dwk[None]
-        return 0
-
-    lax.fori_loop(0, 3, row_tap_dw, 0)
+    for ky in range(3):
+        rows = t_ref[ky * d:ky * d + th, :, :]
+        dw_ref[ky] += lax.dot_general(
+            rows.reshape(th * W, 3 * Cin), dh2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(dh_int, axis=(0, 1), dtype=jnp.float32)[None, :]
 
 
@@ -201,6 +200,7 @@ def _run_fwd(u, mul, add, w, b, d, prologue, interpret):
     # the TPU toolchain supports high Element padding only; shift the halo
     # window into an XLA-prepadded top margin instead of low padding
     u = jnp.pad(u, ((d, 0), (0, 0), (0, 0)))
+    wcat = w.reshape(3, 3 * Cin, Cout)  # [ky, (kx, ci), co]
     return pl.pallas_call(
         kern,
         grid=(pl.cdiv(H, th),),
@@ -210,13 +210,13 @@ def _run_fwd(u, mul, add, w, b, d, prologue, interpret):
                          lambda i: (i * th, 0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3 * Cin, Cout), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, Cout), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((th, W, Cout), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((H, W, Cout), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, W, Cin), u.dtype)],
+            pltpu.VMEM((th + 2 * d, W, 3 * Cin), u.dtype)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -224,7 +224,7 @@ def _run_fwd(u, mul, add, w, b, d, prologue, interpret):
             flops=2 * 9 * H * W * Cin * Cout,
             bytes_accessed=u.size * u.dtype.itemsize + H * W * Cout * 2,
             transcendentals=0),
-    )(u, mul[None, :], add[None, :], w, b[None, :])
+    )(u, mul[None, :], add[None, :], wcat, b[None, :])
 
 
 def _run_bwd(dh, u, mul, add, w, d, prologue, interpret):
@@ -236,8 +236,10 @@ def _run_bwd(dh, u, mul, add, w, d, prologue, interpret):
     # high Element padding only (see _run_fwd): prepad the top margin
     dh = jnp.pad(dh, ((d, 0), (0, 0), (0, 0)))
     u = jnp.pad(u, ((d, 0), (0, 0), (0, 0)))
+    # wt[ky] = [w[ky,0]^T; w[ky,1]^T; w[ky,2]^T] matches dcat's kx blocks
+    wt = jnp.transpose(w, (0, 1, 3, 2)).reshape(3, 3 * Cout, Cin)
     halo = pl.Element(th + 2 * d, (0, 2 * d))
-    du, dw, db, dmul, dadd = pl.pallas_call(
+    du, dwcat, db, dmul, dadd = pl.pallas_call(
         kern,
         grid=(pl.cdiv(H, th),),
         in_specs=[
@@ -247,25 +249,25 @@ def _run_bwd(dh, u, mul, add, w, d, prologue, interpret):
                          lambda i: (i * th, 0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3 * Cout, Cin), lambda i: (0, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((th, W, Cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3 * Cin, Cout), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, Cout), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
             pl.BlockSpec((1, Cin), lambda i: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((H, W, Cin), u.dtype),
-            jax.ShapeDtypeStruct((3, 3, Cin, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3 * Cin, Cout), jnp.float32),
             jax.ShapeDtypeStruct((1, Cout), jnp.float32),
             jax.ShapeDtypeStruct((1, Cin), jnp.float32),
             jax.ShapeDtypeStruct((1, Cin), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, W, Cin), u.dtype),
-            pltpu.VMEM((th + 2 * d, W, Cout), dh.dtype)],
+            pltpu.VMEM((th + 2 * d, W, 3 * Cin), u.dtype),
+            pltpu.VMEM((th + 2 * d, W, 3 * Cout), dh.dtype)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -274,8 +276,8 @@ def _run_bwd(dh, u, mul, add, w, d, prologue, interpret):
             bytes_accessed=2 * u.size * u.dtype.itemsize
             + 2 * H * W * Cout * 2,
             transcendentals=0),
-    )(dh, u, mul[None, :], add[None, :], w)
-    return du, dw, db[0], dmul[0], dadd[0]
+    )(dh, u, mul[None, :], add[None, :], wt)
+    return du, dwcat.reshape(3, 3, Cin, Cout), db[0], dmul[0], dadd[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

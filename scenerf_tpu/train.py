@@ -76,15 +76,25 @@ class Trainer:
         steps_per_epoch: int = 1000,
         with_depth_eval: bool = True,
         ray_parallel: bool = False,
+        ray_shard: bool = False,
     ):
         """ray_parallel=True replicates the (small) batch across the mesh and
         gives every device an independent ray sample of the same items (the
         per-device RNG fold picks different pixels); gradient pmean then makes
         one step equivalent to n_devices x n_rays rays per item. Use when the
         global batch is smaller than the mesh (e.g. the published bs=4 config
-        on a v5e-8)."""
+        on a v5e-8).
+
+        ray_shard=True also replicates the batch but splits each item's
+        n_rays ACROSS the mesh (every device renders n_rays/n_devices of the
+        same pixel set; reprojection masked means psum num/den) -- one step
+        keeps the exact published ray-batch semantics at ~1/n the ray-side
+        wall clock (SURVEY 2.2)."""
+        if ray_parallel and ray_shard:
+            raise ValueError("ray_parallel and ray_shard are exclusive")
         self.cfg = cfg
         self.ray_parallel = ray_parallel
+        self.ray_shard = ray_shard
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = SceneRF(cfg, axis_name=DATA_AXIS)
         self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
@@ -112,11 +122,20 @@ class Trainer:
         model, tx, cfg = self.model, self.tx, self.cfg
         with_depth_eval = self.with_depth_eval
 
+        n_dev = self.mesh.shape[DATA_AXIS]
+        ray_shard_n = n_dev if (self.ray_shard and n_dev > 1) else 1
+        if ray_shard_n > 1 and cfg.n_rays % ray_shard_n:
+            raise ValueError(f"n_rays={cfg.n_rays} must be a multiple of the "
+                             f"mesh size {ray_shard_n} for ray_shard")
+
         def per_shard(state: TrainState, batch, key, sphere_maps):
             # fold in step + device INSIDE the program: host-side fold_in is a
             # separate (expensive) dispatch through the runtime per step
             key = jax.random.fold_in(key, state.step)
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            if ray_shard_n == 1:
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            # (ray_shard: same key everywhere -> same pixel sample; the model
+            # slices per device and folds the device into the noise keys)
 
             def loss_fn(params):
                 variables = {k: {"params": params[k]} for k in params}
@@ -124,6 +143,7 @@ class Trainer:
                 loss, metrics, new_vars = model.forward(
                     variables, batch, key, train=train,
                     with_depth_eval=with_depth_eval, sphere_maps=sphere_maps,
+                    ray_shard_n=ray_shard_n,
                 )
                 return loss, (metrics, new_vars["net_rgb"].get("batch_stats"))
 
@@ -144,7 +164,8 @@ class Trainer:
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
             return state, metrics
 
-        batch_spec = P() if self.ray_parallel else P(DATA_AXIS)
+        batch_spec = P() if (self.ray_parallel or self.ray_shard) \
+            else P(DATA_AXIS)
         fn = shard_map(
             per_shard,
             mesh=self.mesh,
