@@ -137,8 +137,10 @@ class SceneRFConfig:
     pallas_decoder: str = "off"        # "auto" | "on" | "off": fused Pallas
                                        # convs for the low-channel decoder
                                        # stages ("auto" = on TPU backends).
-                                       # Default off: measured slower than
-                                       # XLA at round 2 (docs/PERF.md)
+                                       # Off by default: the remote compile
+                                       # service SIGKILLs on the 2-source
+                                       # flagship program with the kernels
+                                       # enabled (docs/PERF.md round 2)
 
     # ---------------------------------------------------------------- helpers
     @property
