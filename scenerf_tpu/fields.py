@@ -41,12 +41,32 @@ class ResnetBlockFC(nn.Module):
             return x + dx
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree (kernel/bias, same inits) so the
+    batched lin_z projection shares checkpoints with per-block nn.Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        k = self.param("kernel", kaiming_normal, (d_in, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class ResnetFC(nn.Module):
     """ResnetFC(d_in -> d_out) with latent injected before every block.
 
     forward(z, x): h = lin_in(x); for each block: h = block(h + lin_z_i(z));
     out = lin_out(relu(h)). Matches ref resnetfc.py:133-164 for
     combine_layer > n_blocks, use_spade=False (the only mode SceneRF uses).
+
+    All n_blocks latent projections run as ONE [N, d_latent] x
+    [d_latent, n*d_hidden] matmul (kernels concatenated at apply time): the
+    2480-wide latent is the hot operand (~380 MB bf16 per chunk at the
+    flagship shapes) and this reads it once instead of n_blocks times.
     """
 
     d_out: int
@@ -60,11 +80,17 @@ class ResnetFC(nn.Module):
         with jax.named_scope("resnetfc_infer"):
             h = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
                          dtype=self.dtype, name="lin_in")(x)
+            tzs = None
+            if z is not None:
+                kbs = [_DenseParams(self.d_hidden, name=f"lin_z_{i}")(z.shape[-1])
+                       for i in range(self.n_blocks)]
+                wcat = jnp.concatenate([k for k, _ in kbs], axis=1)
+                bcat = jnp.concatenate([b for _, b in kbs])
+                tzs = (z.astype(self.dtype) @ wcat.astype(self.dtype)
+                       + bcat.astype(self.dtype))
             for i in range(self.n_blocks):
-                if z is not None:
-                    tz = nn.Dense(self.d_hidden, kernel_init=kaiming_normal,
-                                  dtype=self.dtype, name=f"lin_z_{i}")(z)
-                    h = h + tz
+                if tzs is not None:
+                    h = h + tzs[..., i * self.d_hidden:(i + 1) * self.d_hidden]
                 h = ResnetBlockFC(self.d_hidden, dtype=self.dtype,
                                   name=f"block_{i}")(h)
             return nn.Dense(self.d_out, kernel_init=kaiming_normal,
