@@ -47,9 +47,25 @@ def compute_depth_errors_np(gt, pred, min_depth=1e-3, max_depth=80.0):
     return np.array([abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3])
 
 
-def make_ray_renderer(model, chunk: int):
+def make_ray_renderer(model, chunk: int, devices=None):
     """One jitted renderer reused across frames/sources (the reference
-    re-launches python chunk loops per call; here a single compiled program)."""
+    re-launches python chunk loops per call; here a single compiled program).
+
+    With more than one visible device the pixel batch is sharded over a 1-D
+    mesh (parallel/sharded_render): per-ray noise is a function of the global
+    ray index, so the gathered result is identical to the single-device render
+    and sharding cuts the reference's slowest pipelines (every LiDAR pixel of
+    every source of every val frame, ref save_depth_metrics.py:113) by
+    ~n_devices. The returned fn carries `.pad_to`, the granule callers must
+    pad ray counts to (render_depth_at_pixels does)."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if len(devices) > 1:
+        from scenerf_tpu.parallel.mesh import make_mesh
+        from scenerf_tpu.parallel.sharded_render import make_sharded_renderer
+        render = make_sharded_renderer(model, make_mesh(devices),
+                                       ray_chunk=chunk)
+        render.pad_to = chunk * len(devices)
+        return render
 
     @jax.jit
     def render(variables, levels, cam_K, T, pixels, key):
@@ -57,12 +73,14 @@ def make_ray_renderer(model, chunk: int):
         return model.render_rays(variables, pyr, cam_K, T, pixels, key,
                                  ray_chunk=chunk, remat=False)
 
+    render.pad_to = chunk
     return render
 
 
 def render_depth_at_pixels(render_fn, variables, levels, cam_K, T, pixels,
                            chunk, key):
-    padded, mask = R.pad_rays(jnp.asarray(pixels, jnp.float32), chunk)
+    pad_to = getattr(render_fn, "pad_to", chunk)
+    padded, mask = R.pad_rays(jnp.asarray(pixels, jnp.float32), pad_to)
     out = render_fn(variables, levels, jnp.asarray(cam_K), jnp.asarray(T),
                     padded, key)
     n = pixels.shape[0]
@@ -78,11 +96,19 @@ def _item_levels(levels, i=0):
 # --------------------------------------------------------------------------- #
 
 
+def _select_devices(n_devices: int = 0):
+    """All visible devices (n_devices=0) or the first n (eval renders shard
+    the pixel batch over them, identical results -- see make_ray_renderer)."""
+    devs = jax.devices()
+    return list(devs if n_devices <= 0 else devs[:n_devices])
+
+
 def _save_depth_metrics_impl(dataset, model_path, eval_save_dir, eval_depth,
-                             chunk=4000):
+                             chunk=4000, n_devices=0):
     model, state, cfg = common.load_model(model_path)
     variables = state.variables()
-    render_fn = make_ray_renderer(model, chunk)
+    render_fn = make_ray_renderer(model, chunk,
+                                  devices=_select_devices(n_devices))
     key = jax.random.PRNGKey(0)
 
     for idx in range(len(dataset)):
@@ -187,12 +213,14 @@ def _bf_val_ds(root, frame_interval=2, n_frames=16):
 
 @click.command()
 @_add_opts(_kitti_opts)
+@click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
 def save_depth_metrics(root, preprocess_root, model_path, eval_save_dir,
-                       sequence_distance, frames_interval):
+                       sequence_distance, frames_interval, n_devices):
     """Render depth at LiDAR pixels for every val source frame; save per-frame
     error pickles (ref evaluation/save_depth_metrics.py)."""
     ds = _kitti_val_ds(root, preprocess_root, sequence_distance, frames_interval)
-    _save_depth_metrics_impl(ds, model_path, eval_save_dir, eval_depth=80.0)
+    _save_depth_metrics_impl(ds, model_path, eval_save_dir, eval_depth=80.0,
+                             n_devices=n_devices)
 
 
 @click.command()
@@ -201,11 +229,13 @@ def save_depth_metrics(root, preprocess_root, model_path, eval_save_dir,
 @click.option("--eval_save_dir", default="")
 @click.option("--frame_interval", default=2)
 @click.option("--n_frames", default=16)
+@click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
 def save_depth_metrics_bf(root, model_path, eval_save_dir, frame_interval,
-                          n_frames):
+                          n_frames, n_devices):
     """BundleFusion variant (ref evaluation/save_depth_metrics_bf.py)."""
     ds = _bf_val_ds(root, frame_interval, n_frames)
-    _save_depth_metrics_impl(ds, model_path, eval_save_dir, eval_depth=10.0)
+    _save_depth_metrics_impl(ds, model_path, eval_save_dir, eval_depth=10.0,
+                             n_devices=n_devices)
 
 
 @click.command()
@@ -229,10 +259,11 @@ def agg_depth_metrics_bf(eval_save_dir):
 
 
 def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
-                        source_image_saver, upsample_to=None):
+                        source_image_saver, upsample_to=None, n_devices=0):
     model, state, cfg = common.load_model(model_path)
     variables = state.variables()
-    render_fn = make_ray_renderer(model, chunk)
+    render_fn = make_ray_renderer(model, chunk,
+                                  devices=_select_devices(n_devices))
     key = jax.random.PRNGKey(0)
     pixels, grid_shape = common.strided_pixel_grid(cfg.img_size, stride)
 
@@ -281,8 +312,9 @@ def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
 
 @click.command()
 @_add_opts(_kitti_opts)
+@click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
 def render_colors(root, preprocess_root, model_path, eval_save_dir,
-                  sequence_distance, frames_interval):
+                  sequence_distance, frames_interval, n_devices):
     """Render novel RGB views at stride 3 for every val source frame
     (ref evaluation/render_colors.py)."""
     ds = _kitti_val_ds(root, preprocess_root, sequence_distance, frames_interval)
@@ -293,7 +325,7 @@ def render_colors(root, preprocess_root, model_path, eval_save_dir,
         shutil.copyfile(src, path)
 
     _render_colors_impl(ds, model_path, eval_save_dir, stride=3, chunk=4000,
-                        source_image_saver=save_src)
+                        source_image_saver=save_src, n_devices=n_devices)
 
 
 @click.command()
@@ -302,7 +334,9 @@ def render_colors(root, preprocess_root, model_path, eval_save_dir,
 @click.option("--eval_save_dir", default="")
 @click.option("--frame_interval", default=2)
 @click.option("--n_frames", default=16)
-def render_colors_bf(root, model_path, eval_save_dir, frame_interval, n_frames):
+@click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
+def render_colors_bf(root, model_path, eval_save_dir, frame_interval, n_frames,
+                     n_devices):
     """BundleFusion novel-view rendering at stride 2
     (ref evaluation/render_colors_bf.py)."""
     ds = _bf_val_ds(root, frame_interval, n_frames)
@@ -311,7 +345,8 @@ def render_colors_bf(root, model_path, eval_save_dir, frame_interval, n_frames):
         common.save_color_png(path, item["img_sources"][sid])
 
     _render_colors_impl(ds, model_path, eval_save_dir, stride=2, chunk=4000,
-                        source_image_saver=save_src, upsample_to=(480, 640))
+                        source_image_saver=save_src, upsample_to=(480, 640),
+                        n_devices=n_devices)
 
 
 def _eval_color_impl(eval_save_dir, sequence, resize, skip_frames=(),

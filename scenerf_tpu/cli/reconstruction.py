@@ -34,7 +34,7 @@ def _upsample_to(img: np.ndarray, out_hw, channels_last=True) -> np.ndarray:
 
 
 def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
-                                rel_poses, chunk=5000):
+                                rel_poses, chunk=5000, n_devices=0):
     import jax.numpy as jnp
 
     from scenerf_tpu.rendering import FeaturePyramid
@@ -46,10 +46,22 @@ def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
     pose_names = [f"_{step}_{angle}" for (step, angle) in rel_poses.keys()]
     pose_stack = jnp.asarray(np.stack([np.asarray(p) for p in rel_poses.values()]))
 
-    # the whole sweep renders as one program per frame (lax.map over poses)
-    sweep = jax.jit(lambda v, lv, K, poses, k: model.render_pose_sweep(
-        v, FeaturePyramid(levels=lv), K, poses, k, stride=scale,
-        ray_chunk=chunk))
+    # the whole sweep renders as one program per frame (lax.map over poses);
+    # with >1 visible device the per-pose pixel grid is sharded over the mesh
+    # (parallel/sharded_render.make_sharded_pose_sweep) -- identical output
+    # (shard-invariant noise), ~n_devices x faster than the reference's
+    # serial per-pose loop (ref generate_novel_depths.py:116-152)
+    devices = jax.devices()
+    devices = list(devices if n_devices <= 0 else devices[:n_devices])
+    if len(devices) > 1:
+        from scenerf_tpu.parallel.mesh import make_mesh
+        from scenerf_tpu.parallel.sharded_render import make_sharded_pose_sweep
+        sweep = make_sharded_pose_sweep(model, make_mesh(devices),
+                                        stride=scale, ray_chunk=chunk)
+    else:
+        sweep = jax.jit(lambda v, lv, K, poses, k: model.render_pose_sweep(
+            v, FeaturePyramid(levels=lv), K, poses, k, stride=scale,
+            ray_chunk=chunk))
 
     for idx in range(len(dataset)):
         item = dataset[idx]
@@ -94,15 +106,17 @@ def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
 @click.option("--angle", default=10.0)
 @click.option("--step", default=0.5)
 @click.option("--max_distance", default=10.1)
+@click.option("--n_devices", default=0, help="devices to shard the sweep over (0=all)")
 def generate_novel_depths(root, preprocess_root, model_path, eval_save_dir,
                           sequence_distance, frames_interval, recon_save_dir,
-                          scale, angle, step, max_distance):
+                          scale, angle, step, max_distance, n_devices):
     """Render depth+RGB for the synthetic pose sweep on every val frame
     (ref reconstruction/generate_novel_depths.py)."""
     ds = _kitti_val_ds(root, preprocess_root, sequence_distance, frames_interval)
     rel_poses = geo.sample_rel_poses(step=step, angle=angle,
                                      max_distance=max_distance)
-    _generate_novel_depths_impl(ds, model_path, recon_save_dir, scale, rel_poses)
+    _generate_novel_depths_impl(ds, model_path, recon_save_dir, scale, rel_poses,
+                                n_devices=n_devices)
 
 
 @click.command()
@@ -115,8 +129,10 @@ def generate_novel_depths(root, preprocess_root, model_path, eval_save_dir,
 @click.option("--max_distance", default=2.1)
 @click.option("--frame_interval", default=2)
 @click.option("--n_frames", default=16)
+@click.option("--n_devices", default=0, help="devices to shard the sweep over (0=all)")
 def generate_novel_depths_bf(root, model_path, recon_save_dir, scale, angle,
-                             step, max_distance, frame_interval, n_frames):
+                             step, max_distance, frame_interval, n_frames,
+                             n_devices):
     """BundleFusion pose-sweep rendering
     (ref reconstruction/generate_novel_depths_bf.py)."""
     ds = _bf_val_ds(root, frame_interval, n_frames)
@@ -125,7 +141,8 @@ def generate_novel_depths_bf(root, model_path, recon_save_dir, scale, angle,
         for (s, a), p in geo.sample_rel_poses_bf(
             angle=angle, max_distance=max_distance, step=step).items()
     }
-    _generate_novel_depths_impl(ds, model_path, recon_save_dir, scale, rel_poses)
+    _generate_novel_depths_impl(ds, model_path, recon_save_dir, scale, rel_poses,
+                                n_devices=n_devices)
 
 
 # --------------------------------------------------------------------------- #

@@ -56,11 +56,21 @@ def run_training(
         n_dev = len(devices)
     mesh = make_mesh(devices[:n_dev])
 
+    # multi-host input sharding: each process reads only its slice of every
+    # global batch; parallel.mesh.shard_batch assembles the global array
+    p_idx, p_cnt = jax.process_index(), jax.process_count()
+    if p_cnt > 1 and parallel_mode != "data":
+        raise NotImplementedError(
+            f"parallel_mode={parallel_mode} replicates the batch via "
+            "device_put and is single-process only; use parallel_mode=data "
+            "for multi-host runs")
     train_loader = DataLoader(train_ds, collate, batch_size=global_batch_size,
                               shuffle=True, limit_fraction=limit_train_fraction,
-                              seed=seed)
+                              seed=seed, process_index=p_idx,
+                              process_count=p_cnt)
     val_loader = DataLoader(val_ds, collate, batch_size=global_batch_size,
-                            shuffle=False)
+                            shuffle=False, process_index=p_idx,
+                            process_count=p_cnt)
 
     steps_per_epoch = max(1, len(train_loader))
     if max_steps_per_epoch is not None:

@@ -54,7 +54,9 @@ class DataLoader:
 
     def __len__(self):
         n = int(len(self.dataset) * self.limit_fraction)
-        if self.drop_last:
+        if self.drop_last or self.process_count > 1:
+            # multi-process always drops the trailing partial batch
+            # (per-process shard shapes must agree globally, see _index_order)
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 

@@ -29,6 +29,8 @@ def reprojection_loss(
     inv_K: jnp.ndarray,
     cam_K: jnp.ndarray,
     T_source2target: jnp.ndarray,
+    full_rows: int | None = None,
+    row_offset: jnp.ndarray | int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """monodepth2-style min(reprojection, identity) L1 loss
     (ref scenerf.py:349-386).
@@ -39,6 +41,9 @@ def reprojection_loss(
     ties), and takes the per-ray minimum. Returns (loss [R], valid_mask [R])
     where valid = warped point in front of the target camera; the reference
     drops invalid rays via boolean indexing -- here callers take a masked mean.
+
+    full_rows/row_offset make the tie-break noise a function of the global ray
+    index (sampling.row_noise) so sharded ray slices match the unsharded step.
     """
     cam_src = geo.pix_2_cam_pts(pix_source, inv_K, depth_rendered)
     cam_tgt = geo.transform_points(cam_src, T_source2target)
@@ -50,7 +55,10 @@ def reprojection_loss(
 
     loss_re = l1_color_loss(color_source, color_tgt)
     loss_id = l1_color_loss(color_source, color_identity)
-    loss_id = loss_id + jax.random.normal(key, loss_id.shape) * 1e-5
+    from scenerf_tpu.sampling import row_noise
+    noise = row_noise(key, loss_id.shape[0], 1, full_rows, row_offset,
+                      dist="normal")[:, 0]
+    loss_id = loss_id + noise * 1e-5
     return jnp.minimum(loss_re, loss_id), valid
 
 

@@ -161,12 +161,18 @@ class SceneRF:
         key: jax.Array,
         ray_chunk: Optional[int] = None,
         remat: Optional[bool] = None,
+        row_offset: Any = 0,
+        total_rows: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Render a batch of rays (ref render_rays_batch, scenerf.py:392-471)."""
+        """Render a batch of rays (ref render_rays_batch, scenerf.py:392-471).
+
+        row_offset/total_rows: render a slice of a larger ray batch with
+        noise identical to the full render (see rendering.render_rays)."""
         field_fn, gauss_fn = self.field_fns(variables)
         return R.render_rays(
             key, pixels, pyramid, cam_K, T_source2infer, field_fn, gauss_fn,
             self.cfg, ray_chunk=ray_chunk, remat=remat,
+            row_offset=row_offset, total_rows=total_rows,
         )
 
     # --------------------------------------------------------------- forward
@@ -193,9 +199,11 @@ class SceneRF:
 
         `ray_shard_n > 1` shards each item's n_rays across the mesh axis
         (SURVEY 2.2's "shard the ray batch across chips"): every device
-        samples the same pixel set, renders its 1/n slice, and the masked
-        reprojection mean psums numerator/denominator so one step keeps the
-        exact unsharded ray-batch semantics.
+        samples the same pixel set, renders its 1/n slice with per-ray noise
+        drawn from the SHARED key for the full ray batch and row-sliced
+        (sampling.row_noise), and the masked reprojection mean psums
+        numerator/denominator -- one step is bit-identical (up to f32
+        reduction order) to the unsharded ray batch.
         """
         cfg = self.cfg
         B = batch["img_input"].shape[0]
@@ -221,18 +229,22 @@ class SceneRF:
                 k_pix, cfg.n_rays, cfg.img_size[0], cfg.img_size[1],
                 stride=cfg.pixel_stride, grid_size=cfg.sample_grid_size,
             )
+            row_offset: Any = 0
+            total_rows = None
             if ray_shard_n > 1:
-                # same pixel set on every device (k_pix unfolded), each
-                # device renders its slice; per-shard noise keys diverge
+                # same pixel set on every device (shared keys), each device
+                # renders its contiguous 1/n row slice; row_offset/total_rows
+                # make every noise draw identical to the unsharded step's
                 nr = cfg.n_rays // ray_shard_n
                 idx = jax.lax.axis_index(self.axis_name)
+                row_offset = idx * nr
+                total_rows = cfg.n_rays
                 pix_source = jax.lax.dynamic_slice(
-                    pix_source, (idx * nr, 0), (nr, 2))
-                k_render = jax.random.fold_in(k_render, idx)
-                k_noise = jax.random.fold_in(k_noise, idx)
+                    pix_source, (row_offset, 0), (nr, 2))
             out = R.render_rays(
                 k_render, pix_source, pyramid, item_K, src["T_source2infer"],
                 field_fn, gauss_fn, cfg,
+                row_offset=row_offset, total_rows=total_rows,
             )
             color_src = geo.sample_pix_features(pix_source, src["img_source"])
 
@@ -244,6 +256,7 @@ class SceneRF:
             loss_reproj, valid = L.reprojection_loss(
                 k_noise, pix_source, color_src, out["depth"],
                 src["img_target"], item_inv_K, item_K, src["T_source2target"],
+                full_rows=total_rows, row_offset=row_offset,
             )
 
             res = {

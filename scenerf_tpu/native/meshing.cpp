@@ -379,8 +379,11 @@ void* mc_run2(const float* vol, int nx, int ny, int nz, float level,
   return mb;
 }
 
+// Legacy ABI: mc_run predates the mode parameter and always ran marching
+// tetrahedra; it keeps that behavior (mode 1) so out-of-tree callers see
+// unchanged triangle counts/topology. New callers use mc_run2.
 void* mc_run(const float* vol, int nx, int ny, int nz, float level) {
-  return mc_run2(vol, nx, ny, nz, level, 0);
+  return mc_run2(vol, nx, ny, nz, level, 1);
 }
 
 void mc_counts(void* handle, int64_t* nv, int64_t* nf) {

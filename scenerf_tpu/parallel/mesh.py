@@ -9,6 +9,9 @@ all-reduces, no NCCL-style host involvement.
 
 Multi-host (v5e-8+) runs feed per-host shards via
 `jax.make_array_from_process_local_data`; DCN only carries input data.
+Exercised for real by tests/test_multihost.py: a 2-process JAX CPU cluster
+(jax.distributed) asserting the assembled global batch matches the
+single-process one shard by shard.
 """
 from __future__ import annotations
 

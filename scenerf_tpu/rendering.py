@@ -145,9 +145,20 @@ def render_ray_block(
     field_fn: FieldFn,
     gaussian_fn: FieldFn,
     cfg: SceneRFConfig,
+    row_offset: jnp.ndarray | int = 0,
+    total_rows: Optional[int] = None,
+    noise_uni: Optional[jnp.ndarray] = None,
+    noise_gauss: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one fixed-size block of rays end to end
-    (ref batchify_depth_and_color, scenerf.py:598-700)."""
+    (ref batchify_depth_and_color, scenerf.py:598-700).
+
+    row_offset/total_rows: this block's position within a larger ray batch --
+    per-ray noise is drawn for the full batch from the shared key and sliced,
+    so rendering is bit-identical across chunk layouts and device shards
+    (sampling.row_noise). noise_uni [r, n_pts_uni] / noise_gauss [r, G*Pg]
+    optionally supply the raw U(0,1)/N(0,1) draws directly (render_rays draws
+    once for all blocks and slices -- same values, one threefry pass)."""
     r = pixels.shape[0]
     k_uni, k_gauss = jax.random.split(key)
 
@@ -161,6 +172,7 @@ def render_ray_block(
         k_uni, pixels, inv_K, T_source2infer,
         cfg.n_pts_uni, cfg.min_sample_depth, cfg.max_sample_depth,
         method=cfg.sampling_method,
+        full_rows=total_rows, row_offset=row_offset, noise=noise_uni,
     )
 
     # --- Gaussian mixture prediction at anchor points ---------------------
@@ -184,6 +196,7 @@ def render_ray_block(
     pts_g, dv_g, sd_g = S.sample_rays_gaussian(
         k_gauss, unit_dir, T_source2infer, g_means, g_stds,
         cfg.n_pts_per_gaussian, cfg.min_clamp_depth,
+        full_rows=total_rows, row_offset=row_offset, noise=noise_gauss,
     )
 
     # --- merge + sort -------------------------------------------------------
@@ -232,6 +245,8 @@ def render_rays(
     cfg: SceneRFConfig,
     ray_chunk: Optional[int] = None,
     remat: Optional[bool] = None,
+    row_offset: jnp.ndarray | int = 0,
+    total_rows: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render R rays in fixed-size blocks (ref render_rays_batch,
     scenerf.py:392-471).
@@ -240,31 +255,48 @@ def render_rays(
     `pad_rays`). Blocks run under `lax.map`; with remat=True each block is
     `jax.checkpoint`ed so the backward pass trades recompute for memory --
     the TPU replacement for the reference's serial 100-ray chunking.
+
+    Per-ray noise depends only on the global ray index (shared key + row
+    slicing, see render_ray_block): the output is bit-identical for any chunk
+    size, and a caller holding a slice of a larger ray batch (ray_shard)
+    passes row_offset/total_rows to reproduce exactly the rays the unsharded
+    step would render.
     """
     inv_K = jnp.linalg.inv(cam_K)
     chunk = ray_chunk or cfg.ray_chunk
     R = pixels.shape[0]
+    total = total_rows if total_rows is not None else R
+
+    # one threefry pass for ALL blocks (values identical to per-block draws
+    # at the corresponding row offsets -- row_noise slices one full draw)
+    k_uni, k_gauss = jax.random.split(key)
+    noise_uni = S.row_noise(k_uni, R, cfg.n_pts_uni, total, row_offset)
+    noise_gauss = S.row_noise(
+        k_gauss, R, cfg.n_gaussians * cfg.n_pts_per_gaussian,
+        total, row_offset, dist="normal")
 
     def block(args):
-        k, pix = args
+        pix, nu, ng = args
         return render_ray_block(
-            k, pix, pyramid, cam_K, inv_K, T_source2infer,
+            key, pix, pyramid, cam_K, inv_K, T_source2infer,
             field_fn, gaussian_fn, cfg,
+            noise_uni=nu, noise_gauss=ng,
         )
 
     if R <= chunk:
-        return block((key, pixels))
+        return block((pixels, noise_uni, noise_gauss))
 
     if R % chunk != 0:
         raise ValueError(f"n_rays={R} not a multiple of ray_chunk={chunk}")
     n_blocks = R // chunk
-    keys = jax.random.split(key, n_blocks)
     pix_blocks = pixels.reshape(n_blocks, chunk, 2)
+    nu_blocks = noise_uni.reshape(n_blocks, chunk, -1)
+    ng_blocks = noise_gauss.reshape(n_blocks, chunk, -1)
 
     fn = block
     if remat if remat is not None else cfg.remat_chunks:
         fn = jax.checkpoint(block)
-    out = jax.lax.map(fn, (keys, pix_blocks))
+    out = jax.lax.map(fn, (pix_blocks, nu_blocks, ng_blocks))
     # [n_blocks, chunk, ...] -> [R, ...]
     return jax.tree_util.tree_map(
         lambda a: a.reshape(R, *a.shape[2:]), out

@@ -18,27 +18,60 @@ import jax.numpy as jnp
 from scenerf_tpu.geometry import apply_matrix, homogenize, transform_points
 
 
+def row_noise(
+    key: jax.Array,
+    n_rays: int,
+    n_cols: int,
+    full_rows: int | None = None,
+    row_offset: jnp.ndarray | int = 0,
+    dist: str = "uniform",
+) -> jnp.ndarray:
+    """[n_rays, n_cols] noise whose values depend only on the GLOBAL ray index.
+
+    With `full_rows`, the draw covers the full ray set and rows
+    [row_offset : row_offset + n_rays] are sliced out, so a ray gets the same
+    noise regardless of how the ray batch is chunked into blocks or sharded
+    across devices -- this is what makes `ray_shard` bit-exact vs the
+    unsharded step (SURVEY 2.2)."""
+    rows = n_rays if full_rows is None else full_rows
+    draw = jax.random.uniform if dist == "uniform" else jax.random.normal
+    noise = draw(key, (rows, n_cols))
+    if full_rows is not None and (full_rows != n_rays or not isinstance(row_offset, int) or row_offset != 0):
+        noise = jax.lax.dynamic_slice(noise, (row_offset, 0), (n_rays, n_cols))
+    return noise
+
+
 def uniform_sensor_distances(
-    key: jax.Array, n_rays: int, n_pts: int, d_min: float, d_max: float
+    key: jax.Array, n_rays: int, n_pts: int, d_min: float, d_max: float,
+    full_rows: int | None = None, row_offset: jnp.ndarray | int = 0,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Stratified distances: linspace(d_min, d_max, n_pts) + U(0, step) jitter,
     step = (d_max - d_min) / n_pts (ref models/utils.py:75-90 -- note the
     reference jitters by range/n while the linspace spacing is range/(n-1);
-    reproduced as-is)."""
+    reproduced as-is).
+
+    `noise`: optional precomputed U(0,1) [n_rays, n_pts] (a row_noise slice) --
+    callers rendering many blocks draw once and slice (rendering.render_rays)."""
     base = jnp.linspace(d_min, d_max, n_pts)
     step = (d_max - d_min) / n_pts
-    noise = jax.random.uniform(key, (n_rays, n_pts)) * step
-    return base[None, :] + noise
+    if noise is None:
+        noise = row_noise(key, n_rays, n_pts, full_rows, row_offset)
+    return base[None, :] + noise * step
 
 
 def log_sensor_distances(
-    key: jax.Array, n_rays: int, n_pts: int, d_min: float, d_max: float
+    key: jax.Array, n_rays: int, n_pts: int, d_min: float, d_max: float,
+    full_rows: int | None = None, row_offset: jnp.ndarray | int = 0,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Log-spaced distances concentrating samples near the camera
     (ref models/utils.py:94-109)."""
     step = (d_max - d_min) / n_pts
     d_i = d_min + jnp.arange(n_pts - 1, -1, -1, dtype=jnp.float32) * (d_max - d_min) / n_pts
-    d_i = d_i[None, :] + jax.random.uniform(key, (n_rays, n_pts)) * step
+    if noise is None:
+        noise = row_noise(key, n_rays, n_pts, full_rows, row_offset)
+    d_i = d_i[None, :] + noise * step
     return d_max - jnp.log(d_i - d_min + 1.0) / jnp.log(d_max - d_min + 1.0) * (d_max - d_min)
 
 
@@ -87,6 +120,9 @@ def sample_rays_uniform(
     d_min: float,
     d_max: float,
     method: str = "uniform",
+    full_rows: int | None = None,
+    row_offset: jnp.ndarray | int = 0,
+    noise: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform/log stratified sampling along rays through `pix`
     (ref sample_rays_viewdir, models/utils.py:112-173).
@@ -95,15 +131,20 @@ def sample_rays_uniform(
     viewdir_infer [R,3]). viewdir_infer is the UNNORMALIZED back-projected
     direction rotated into the infer frame (the reference feeds this raw vector
     to the MLP, models/utils.py:170).
+
+    full_rows/row_offset make the per-ray jitter a function of the global ray
+    index (see row_noise) for chunk/shard-invariant rendering.
     """
     n_rays = pix.shape[0]
     raw_dir = apply_matrix(homogenize(pix), inv_K[:3, :3])  # [R, 3], unnormalized
     unit_dir = raw_dir / jnp.linalg.norm(raw_dir, axis=-1, keepdims=True)
 
     if method == "uniform":
-        sd = uniform_sensor_distances(key, n_rays, n_pts, d_min, d_max)
+        sd = uniform_sensor_distances(key, n_rays, n_pts, d_min, d_max,
+                                      full_rows, row_offset, noise)
     elif method == "log":
-        sd = log_sensor_distances(key, n_rays, n_pts, d_min, d_max)
+        sd = log_sensor_distances(key, n_rays, n_pts, d_min, d_max,
+                                  full_rows, row_offset, noise)
     else:
         raise ValueError(f"unknown sampling method: {method}")
 
@@ -120,14 +161,22 @@ def sample_rays_gaussian(
     gaussian_stds: jnp.ndarray,    # [R, G]
     n_pts_per_gaussian: int,
     min_clamp_depth: float = 0.1,
+    full_rows: int | None = None,
+    row_offset: jnp.ndarray | int = 0,
+    noise: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw n_pts_per_gaussian points from each per-ray Gaussian along the ray
     (ref models/utils.py:186-229). Distances are clamped at min_clamp_depth.
+
+    full_rows/row_offset: see row_noise (chunk/shard-invariant draws);
+    `noise` optionally supplies the N(0,1) [R, G*Pg] draw directly.
     """
     n_rays, n_gauss = gaussian_means.shape
     mean_rep = jnp.repeat(gaussian_means, n_pts_per_gaussian, axis=1)  # [R, G*Pg]
     std_rep = jnp.repeat(gaussian_stds, n_pts_per_gaussian, axis=1)
-    noise = jax.random.normal(key, mean_rep.shape)
+    if noise is None:
+        noise = row_noise(key, n_rays, n_gauss * n_pts_per_gaussian,
+                          full_rows, row_offset, dist="normal")
     sd = jnp.maximum(mean_rep + noise * std_rep, min_clamp_depth)
     cam_pts, depth_volume = points_from_distances(sd, unit_direction, T_source2infer)
     return cam_pts, depth_volume, sd

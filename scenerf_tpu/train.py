@@ -87,9 +87,10 @@ class Trainer:
 
         ray_shard=True also replicates the batch but splits each item's
         n_rays ACROSS the mesh (every device renders n_rays/n_devices of the
-        same pixel set; reprojection masked means psum num/den) -- one step
-        keeps the exact published ray-batch semantics at ~1/n the ray-side
-        wall clock (SURVEY 2.2)."""
+        same pixel set with shard-invariant noise; reprojection masked means
+        psum num/den) -- one step is bit-identical to the unsharded published
+        ray batch (up to f32 reduction order) at ~1/n the ray-side wall clock
+        (SURVEY 2.2; exactness proven in tests/test_train.py)."""
         if ray_parallel and ray_shard:
             raise ValueError("ray_parallel and ray_shard are exclusive")
         self.cfg = cfg
@@ -134,8 +135,12 @@ class Trainer:
             key = jax.random.fold_in(key, state.step)
             if ray_shard_n == 1:
                 key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-            # (ray_shard: same key everywhere -> same pixel sample; the model
-            # slices per device and folds the device into the noise keys)
+            else:
+                # ray_shard: SAME key on every device (same pixel sample; the
+                # model row-slices per device with shard-invariant noise).
+                # fold_in(key, 0) matches the 1-device data path's derivation
+                # exactly, so the sharded step is bit-comparable to it.
+                key = jax.random.fold_in(key, 0)
 
             def loss_fn(params):
                 variables = {k: {"params": params[k]} for k in params}

@@ -118,6 +118,9 @@ def main():
     ap.add_argument("--val_every", type=int, default=50)
     ap.add_argument("--out", default="/tmp/quality.json")
     ap.add_argument("--configs", default="bf16x1,f32x1,bf16x2,f32x2")
+    ap.add_argument("--seeds", default="42",
+                    help="comma list; >1 seed appends @s<seed> to each tag "
+                         "(VERDICT r2 item 6: multi-seed quality evidence)")
     args = ap.parse_args()
 
     from scenerf_tpu import config as C
@@ -137,13 +140,16 @@ def main():
         "bf16x2": make_cfg("bfloat16", 2),
         "f32x2": make_cfg("float32", 2).replace(remat_encoder=True),
     }
+    seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
     for tag in args.configs.split(","):
-        results[tag] = run_one(tag, grid[tag], args.root, args.prep,
-                               args.steps, args.val_every)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
-        print(f"wrote {args.out}", flush=True)
+        for seed in seeds:
+            k = tag if len(seeds) == 1 else f"{tag}@s{seed}"
+            results[k] = run_one(k, grid[tag], args.root, args.prep,
+                                 args.steps, args.val_every, seed=seed)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

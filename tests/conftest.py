@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the heavy grad programs (test_train's sharded
+# tiny-model steps) take minutes to compile on this 1-core CPU host; cached
+# executables load in seconds on every later suite run
+from scenerf_tpu.utils.jax_setup import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

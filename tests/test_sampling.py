@@ -22,6 +22,45 @@ def test_uniform_distances_stratified():
     assert (d >= 0).all() and (d <= step + 1e-5).all()
 
 
+def test_row_noise_slice_is_bit_exact():
+    """row_noise with full_rows/row_offset returns EXACTLY the rows of the
+    full draw -- the RNG contract behind chunk/shard-invariant rendering."""
+    key = jax.random.PRNGKey(3)
+    full = np.asarray(S.row_noise(key, 64, 8))
+    for off in (0, 16, 48):
+        part = np.asarray(S.row_noise(key, 16, 8, full_rows=64, row_offset=off))
+        np.testing.assert_array_equal(part, full[off:off + 16])
+    # traced offset (the shard_map / lax.map case)
+    part = np.asarray(jax.jit(
+        lambda o: S.row_noise(key, 16, 8, full_rows=64, row_offset=o)
+    )(jnp.int32(32)))
+    np.testing.assert_array_equal(part, full[32:48])
+    # normal-dist draws too (gaussian sampler + reprojection tie-break noise)
+    fulln = np.asarray(S.row_noise(key, 64, 4, dist="normal"))
+    partn = np.asarray(
+        S.row_noise(key, 32, 4, full_rows=64, row_offset=16, dist="normal"))
+    np.testing.assert_array_equal(partn, fulln[16:48])
+
+
+def test_row_noise_prefix_property():
+    """Threefry draws are counter-indexed flat: noise at global row r depends
+    only on (key, r, n_cols), NOT on how many total rows are drawn. Eval
+    sharding relies on this (different pad totals, same real-row noise);
+    this guards the property across JAX upgrades."""
+    key = jax.random.PRNGKey(7)
+    small = np.asarray(S.row_noise(key, 16, 8))
+    big = np.asarray(S.row_noise(key, 64, 8))
+    np.testing.assert_array_equal(small, big[:16])
+
+
+def test_uniform_distances_slice_matches_full():
+    key = jax.random.PRNGKey(4)
+    full = np.asarray(S.uniform_sensor_distances(key, 64, 8, 0.2, 50.0))
+    part = np.asarray(S.uniform_sensor_distances(
+        key, 16, 8, 0.2, 50.0, full_rows=64, row_offset=32))
+    np.testing.assert_array_equal(part, full[32:48])
+
+
 def test_log_distances_range():
     key = jax.random.PRNGKey(1)
     sd = np.asarray(S.log_sensor_distances(key, 50, 16, 0.2, 100.0))

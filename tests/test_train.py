@@ -125,31 +125,94 @@ def test_ray_parallel_mode(cfg):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_ray_shard_mode(cfg):
-    """Ray-shard: each device renders 1/n of the same pixel set; the step
-    keeps the unsharded ray-batch semantics (same pixels, psum'd masked
-    reprojection mean), so the loss tracks the single-device step closely."""
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_ray_shard_exact(cfg, n_dev):
+    """Ray-shard is EXACT: the sharded step's loss and pmean'd grads equal the
+    unsharded single-device step's (same key, same pixels, shard-invariant
+    noise) up to f32 reduction order (SURVEY 2.2 design target)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from scenerf_tpu.model import SceneRF
+    from scenerf_tpu.parallel.mesh import DATA_AXIS, replicate
+
+    assert cfg.n_rays % n_dev == 0
+    mesh = make_mesh(jax.devices()[:n_dev])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10,
+                      with_depth_eval=False, ray_shard=True)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch_np = make_batch(cfg, batch_size=1)
+    batch = replicate(batch_np, mesh)
+    key = jax.random.PRNGKey(1)
+    batch_stats = jax.device_get(state.batch_stats)
+
+    model_n = trainer.model
+
+    def loss_sharded(params, b, k):
+        variables = {kk: {"params": params[kk]} for kk in params}
+        variables["net_rgb"]["batch_stats"] = batch_stats
+        loss, _, _ = model_n.forward(variables, b, k, train=False,
+                                     with_depth_eval=False,
+                                     ray_shard_n=n_dev)
+        return loss
+
+    def shard_fn(params, b, k):
+        l, g = jax.value_and_grad(loss_sharded)(params, b, k)
+        return jax.lax.pmean(l, DATA_AXIS), jax.lax.pmean(g, DATA_AXIS)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    l_sh, g_sh = fn(state.params, batch, key)
+
+    # unsharded single-device reference on the same key/batch
+    model1 = SceneRF(cfg)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    def loss_unsharded(params):
+        variables = {kk: {"params": params[kk]} for kk in params}
+        variables["net_rgb"]["batch_stats"] = batch_stats
+        loss, _, _ = model1.forward(variables, batch1, key, train=False,
+                                    with_depth_eval=False)
+        return loss
+
+    l1, g1 = jax.value_and_grad(loss_unsharded)(jax.device_get(state.params))
+    np.testing.assert_allclose(float(l_sh), float(l1), rtol=2e-6)
+    # identical RNG per ray; residual grad diffs are f32 reduction order
+    # (n_dev psum'd partial sums vs one unsharded sum). A jitter/key mismatch
+    # would move grads by ~their own magnitude (1e-2), 3 orders above this.
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_ray_shard_trainer_step_matches_unsharded(cfg):
+    """End-to-end Trainer parity: the ray_shard train step's loss metric
+    equals the 1-device data-mode step's (the fold_in(key, 0) derivation is
+    shared), and the updated params march in lockstep."""
     from scenerf_tpu.parallel.mesh import replicate
 
-    assert cfg.n_rays % 4 == 0
     mesh = make_mesh(jax.devices()[:4])
     trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10,
                       with_depth_eval=False, ray_shard=True)
     state = trainer.create_state(jax.random.PRNGKey(0))
-    batch = replicate(make_batch(cfg, batch_size=1), mesh)
-    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    batch_np = make_batch(cfg, batch_size=1)
+    state, metrics = trainer.train_step(
+        state, replicate(batch_np, mesh), jax.random.PRNGKey(1))
     assert int(state.step) == 1
-    loss_sharded = float(metrics["total_loss"])
-    assert np.isfinite(loss_sharded)
 
-    # vs the unsharded single-device step on the same key/pixels: only the
-    # per-shard noise keys differ (stratified jitter), so losses agree to a
-    # few percent on an untrained model
     mesh1 = make_mesh(jax.devices()[:1])
     trainer1 = Trainer(cfg, mesh=mesh1, steps_per_epoch=10,
                        with_depth_eval=False)
     state1 = trainer1.create_state(jax.random.PRNGKey(0))
     batch1 = shard_batch(make_batch(cfg, batch_size=1), mesh1)
-    _, m1 = trainer1.train_step(state1, batch1, jax.random.PRNGKey(1))
-    np.testing.assert_allclose(loss_sharded, float(m1["total_loss"]),
-                               rtol=0.05)
+    state1, m1 = trainer1.train_step(state1, batch1, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(m1["total_loss"]), rtol=2e-6)
+    # Adam's first update is ~lr * sign(m)/(...): a last-ulp reduction-order
+    # difference on a near-zero grad element can flip its sign and move that
+    # param by up to 2*lr (2e-5 at tiny's lr=1e-5) -- atol sits just above
+    # that amplification; observed violations are ~2/13k elements.
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=3e-5)
