@@ -134,13 +134,14 @@ class SceneRFConfig:
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
     remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
-    pallas_decoder: str = "off"        # "auto" | "on" | "off": fused Pallas
-                                       # convs for the low-channel decoder
-                                       # stages ("auto" = on TPU backends).
-                                       # Off by default: the remote compile
-                                       # service SIGKILLs on the 2-source
-                                       # flagship program with the kernels
-                                       # enabled (docs/PERF.md round 2)
+    decoder_conv: str = "conv"         # "conv" | "taps": decoder 3x3 convs as
+                                       # nn.Conv (default) or as one im2col
+                                       # matmul (ops/conv_taps.py). XLA's conv
+                                       # emitter loses time to layout churn at
+                                       # the spherical-grid shapes, but the
+                                       # taps flagship program has not yet
+                                       # compiled on the remote TPU service
+                                       # (docs/PERF.md round 3)
 
     # ---------------------------------------------------------------- helpers
     @property

@@ -31,10 +31,9 @@ from jax import lax
 class FusedBatchNorm(nn.Module):
     """BatchNorm over all axes but the last, fused scale/shift application.
 
-    With `return_affine=True` the module returns the folded per-channel
-    `(mul, add)` vectors instead of applying them -- the Pallas decoder path
-    (ops/conv_pallas.py) applies them as the next conv's fused prologue.
-    Variables and statistics are identical either way.
+    Statistics reduce in f32 (converts fuse into the reductions) but the
+    folded per-channel scale/shift applies in `dtype`, keeping the big
+    spherical-grid activations bf16 end to end (docs/PERF.md round 2).
     """
 
     use_running_average: bool = False
@@ -42,7 +41,6 @@ class FusedBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    return_affine: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -76,7 +74,5 @@ class FusedBatchNorm(nn.Module):
 
         mul = scale * lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
-        if self.return_affine:
-            return mul, add
         dt = jnp.asarray(x).dtype if self.dtype is None else self.dtype
         return x.astype(dt) * mul.astype(dt) + add.astype(dt)

@@ -30,7 +30,7 @@ import numpy as np
 
 from scenerf_tpu.config import SphereConfig
 from scenerf_tpu.encoder.norm import FusedBatchNorm
-from scenerf_tpu.ops import conv_pallas
+from scenerf_tpu.ops import conv_taps
 from scenerf_tpu import geometry as geo
 
 Levels = Dict[str, jnp.ndarray]
@@ -107,7 +107,7 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jn
 
 class Conv3x3Params(nn.Module):
     """Parameter holder matching nn.Conv's tree (kernel/bias, same init) so
-    the Pallas path shares checkpoints with the XLA path."""
+    the taps-matmul path shares checkpoints with the nn.Conv path."""
 
     features: int
 
@@ -120,58 +120,40 @@ class Conv3x3Params(nn.Module):
         return k, b
 
 
-def _batched_fused_conv(x, k, b, mul, add, dilation, interpret, use_xla):
-    """fused_affine_conv3x3 over a batched [B, H, W, C] input (B is 1 on the
-    flagship config; unrolled otherwise). `use_xla` routes through the
-    reference implementation -- module init runs on the host CPU where the
-    compiled Pallas path is unavailable."""
-    if use_xla:
-        op = lambda xi: conv_pallas.xla_reference(xi, k, b, mul, add,
-                                                  dilation=dilation)
-    else:
-        op = lambda xi: conv_pallas.fused_affine_conv3x3(
-            xi, k, b, mul, add, dilation=dilation, interpret=interpret)
-    outs = [op(x[i]) for i in range(x.shape[0])]
-    return outs[0][None] if len(outs) == 1 else jnp.stack(outs)
-
-
 class BasicBlock(nn.Module):
     """Dilated residual conv block (ref unet2d_sphere.py:9-34).
 
-    `pallas=True` runs the two convs as fused Pallas kernels
-    (ops/conv_pallas.py): conv2's BatchNorm+leaky-relu prologue is applied
-    inside the kernel, and only the raw conv outputs touch HBM. Parameters
-    and BatchNorm variables are identical between the two paths.
+    `taps=True` runs both convs as explicit im2col matmuls
+    (ops/conv_taps.py): XLA's TPU conv emitter loses most of its time to
+    layout churn at these large-grid/low-channel shapes, while the K=9C dot
+    stays in the native channel-minor layout (docs/PERF.md round 3).
+    Parameters and BatchNorm variables are identical between the paths.
     """
 
     channels: int
     dilation: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    pallas: bool = False
-    interpret: bool = False
+    taps: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        def bn(h, name, return_affine=False):
+        def bn(h, name):
             return FusedBatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=self.dtype,
                                   axis_name=self.axis_name if train else None,
-                                  return_affine=return_affine, name=name)(h)
+                                  name=name)(h)
 
         d = self.dilation
-        if self.pallas:
+        if self.taps:
+            x = x.astype(self.dtype)
             k1, b1 = Conv3x3Params(self.channels, name="conv1")(x.shape[-1])
+            h = conv_taps.conv3x3(x, k1, b1, d)
+            h = nn.leaky_relu(bn(h, "bn1"))
             k2, b2 = Conv3x3Params(self.channels, name="conv2")(self.channels)
-            init = self.is_initializing()
-            h1 = _batched_fused_conv(x, k1, b1, None, None, d,
-                                     self.interpret, init)
-            m1, a1 = bn(h1, "bn1", return_affine=True)
-            h2 = _batched_fused_conv(h1, k2, b2, m1, a1, d,
-                                     self.interpret, init)
-            m2, a2 = bn(h2, "bn2", return_affine=True)
-            dt = self.dtype
-            return nn.leaky_relu(h2 * m2.astype(dt) + a2.astype(dt) + x)
+            h = conv_taps.conv3x3(h, k2, b2, d)
+            h = bn(h, "bn2")
+            return nn.leaky_relu(h + x)
 
         h = nn.Conv(self.channels, (3, 3), kernel_dilation=(d, d), padding="SAME",
                     dtype=self.dtype, name="conv1")(x)
@@ -189,25 +171,21 @@ class UpSampleBN(nn.Module):
     channels: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    pallas: bool = False
-    interpret: bool = False
+    taps: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         up = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
         h = jnp.concatenate([up, skip], axis=-1)
-        if self.pallas:
+        if self.taps:
             k0, b0 = Conv3x3Params(self.channels, name="conv")(h.shape[-1])
-            h = _batched_fused_conv(h.astype(self.dtype), k0, b0, None, None,
-                                    1, self.interpret,
-                                    self.is_initializing())
+            h = conv_taps.conv3x3(h.astype(self.dtype), k0, b0, 1)
         else:
             h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                         name="conv")(h)
         for i, d in enumerate((1, 2, 3)):
             h = BasicBlock(self.channels, d, dtype=self.dtype,
-                           axis_name=self.axis_name, pallas=self.pallas,
-                           interpret=self.interpret,
+                           axis_name=self.axis_name, taps=self.taps,
                            name=f"block{i}")(h, train=train)
         return h
 
@@ -225,9 +203,13 @@ class DecoderSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
-    pallas: bool = False        # fused Pallas convs for the low-channel stages
-    pallas_interpret: bool = False
-    pallas_max_ch: int = 160    # stages with channels <= this use Pallas
+    conv_impl: str = "conv"     # "conv" (nn.Conv) | "taps" (im2col matmul,
+                                # the TPU-fast path -- ops/conv_taps.py)
+    taps_max_ch: int = 160      # taps only for stages with channels <= this
+                                # (up1+up2, ~2/3 of the decoder device time);
+                                # bounding the count of custom-VJP conv
+                                # subgraphs keeps the remote TPU compile
+                                # helper within its memory budget
 
     @nn.compact
     def __call__(
@@ -260,9 +242,9 @@ class DecoderSphere(nn.Module):
         up_cls = nn.remat(UpSampleBN, static_argnums=(3,)) if self.remat else UpSampleBN
 
         def kw(ch):
-            pallas = self.pallas and ch <= self.pallas_max_ch
             return dict(dtype=self.dtype, axis_name=self.axis_name,
-                        pallas=pallas, interpret=self.pallas_interpret)
+                        taps=(self.conv_impl == "taps"
+                              and ch <= self.taps_max_ch))
 
         x_1_16 = up_cls(F // 2, name="up16", **kw(F // 2))(sph[32], sph[16], train)
         x_1_8 = up_cls(F // 4, name="up8", **kw(F // 4))(x_1_16, sph[8], train)

@@ -21,8 +21,7 @@ class UNet2DSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool = True
-    pallas_decoder: bool = False
-    pallas_interpret: bool = False
+    conv_impl: str = "conv"  # decoder convs: "conv" | "taps" (see DecoderSphere)
 
     def setup(self):
         self.backbone = make_backbone(
@@ -32,7 +31,7 @@ class UNet2DSphere(nn.Module):
         self.decoder = DecoderSphere(
             num_features=self.num_features, sphere=self.sphere,
             dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
-            pallas=self.pallas_decoder, pallas_interpret=self.pallas_interpret,
+            conv_impl=self.conv_impl,
         )
 
     def __call__(self, img: jnp.ndarray, pix: jnp.ndarray, pix_sphere: jnp.ndarray,

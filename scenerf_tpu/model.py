@@ -55,10 +55,6 @@ class SceneRF:
                 f"eval_ray_chunk={cfg.eval_ray_chunk} (or fit in one chunk)")
         self.cfg = cfg
         self.axis_name = axis_name
-        if cfg.pallas_decoder == "auto":
-            use_pallas = jax.default_backend() == "tpu"
-        else:
-            use_pallas = cfg.pallas_decoder == "on"
         self.net_rgb = UNet2DSphere(
             backbone_name=cfg.encoder,
             num_features=cfg.encoder_features,
@@ -66,8 +62,7 @@ class SceneRF:
             dtype=cfg.dtype,
             axis_name=axis_name,
             remat=cfg.remat_encoder,
-            pallas_decoder=use_pallas,
-            pallas_interpret=use_pallas and jax.default_backend() != "tpu",
+            conv_impl=cfg.decoder_conv,
         )
         self.d_latent = decoder_latent_dim(cfg.encoder_features)
         self.mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden,
