@@ -204,7 +204,8 @@ class DecoderSphere(nn.Module):
     axis_name: str | None = None
     remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
     conv_impl: str = "conv"     # "conv" (nn.Conv) | "taps" (im2col matmul,
-                                # the TPU-fast path -- ops/conv_taps.py)
+                                # the TPU-fast path -- ops/conv_taps.py);
+                                # "taps:N" overrides the channel gate below
     taps_max_ch: int = 160      # taps only for stages with channels <= this
                                 # (up1+up2, ~2/3 of the decoder device time);
                                 # bounding the count of custom-VJP conv
@@ -241,10 +242,12 @@ class DecoderSphere(nn.Module):
 
         up_cls = nn.remat(UpSampleBN, static_argnums=(3,)) if self.remat else UpSampleBN
 
+        impl, _, gate = self.conv_impl.partition(":")
+        max_ch = int(gate) if gate else self.taps_max_ch
+
         def kw(ch):
             return dict(dtype=self.dtype, axis_name=self.axis_name,
-                        taps=(self.conv_impl == "taps"
-                              and ch <= self.taps_max_ch))
+                        taps=(impl == "taps" and ch <= max_ch))
 
         x_1_16 = up_cls(F // 2, name="up16", **kw(F // 2))(sph[32], sph[16], train)
         x_1_8 = up_cls(F // 4, name="up8", **kw(F // 4))(x_1_16, sph[8], train)

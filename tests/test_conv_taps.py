@@ -67,12 +67,11 @@ def test_bf16_accumulates_f32(rng):
 
 def test_decoder_taps_matches_conv_end_to_end(rng):
     """DecoderSphere conv_impl='taps' == 'conv' on identical params/stats
-    (checkpoint interchangeability; the config default is 'taps')."""
+    (checkpoint interchangeability)."""
     from scenerf_tpu import config as C
     from scenerf_tpu.model import SceneRF
 
-    cfg_t = C.tiny()
-    assert cfg_t.decoder_conv == "taps"
+    cfg_t = C.tiny(decoder_conv="taps")
     cfg_c = cfg_t.replace(decoder_conv="conv")
     m_taps, m_conv = SceneRF(cfg_t), SceneRF(cfg_c)
     variables = m_taps.init(jax.random.PRNGKey(0))

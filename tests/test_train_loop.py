@@ -59,3 +59,36 @@ def test_run_training_epochs_and_resume(tmp_path, monkeypatch):
         global_batch_size=1, max_steps_per_epoch=1,
     )
     assert int(np.asarray(state2.step)) == 3
+
+
+@pytest.mark.slow
+def test_overfit_one_frame_converges():
+    """Overfitting a geometrically consistent frame drives val abs_rel below
+    0.3 (SURVEY section 4's convergence test; VERDICT r2 item 6). The batch is
+    a textured slanted plane whose reprojection loss is minimized exactly at
+    the analytic depth, so the full loss stack must actually converge -- not
+    just descend -- to pass. scripts/overfit_probe.py reaches 0.167 by step
+    250 with this seed/config."""
+    import jax
+
+    from scenerf_tpu.data.synthetic import make_geometric_batch
+    from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenerf_tpu.train import Trainer
+
+    cfg = C.tiny(lr=1e-3, n_rays=256, ray_chunk=256)
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=250, with_depth_eval=True)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch = shard_batch(make_geometric_batch(cfg, seed=0), mesh)
+    key = jax.random.PRNGKey(1)
+
+    first = None
+    best = np.inf
+    for step in range(250):
+        state, m = trainer.train_step(state, batch, key)
+        if step == 0:
+            first = float(m["depth/abs_rel"])
+        elif (step + 1) % 25 == 0:
+            best = min(best, float(m["depth/abs_rel"]))
+    assert first > 0.25          # starts unconverged
+    assert best < 0.28, best     # converges well below the 0.3 bar
