@@ -57,8 +57,19 @@ static const int kFaceCorners[6][4] = {
     {4, 5, 7, 6},  // z = 1
 };
 
-// Per-configuration isosurface polygons, as cycles of edge ids. Generated
-// once; orientation is resolved at runtime against the cell gradient.
+// Per-configuration isosurface polygons, as DIRECTED cycles of edge ids.
+// Orientation is fixed at table-generation time from the corner signs alone:
+// on every face, walked in outward-CCW corner order, each surface segment is
+// directed from its inside->outside crossing to its outside->inside crossing
+// (the inside region stays on the segment's left when viewed from outside
+// the cube). Chaining those directed segments yields cycles whose winding
+// normal points toward the INSIDE (v < level) corners; the emitter reverses
+// them so triangle normals point along +gradient (toward v >= level),
+// matching the per-vertex gradient normals. Because the direction rule
+// depends only on the shared face's corner signs, adjacent cells traverse a
+// shared polygon edge in opposite directions -- exact, mesh-consistent
+// orientation with no geometric (Newell-vs-gradient) tie-breaks, which the
+// old scheme could get wrong on saddle/near-zero-gradient cells.
 struct MCTable {
   std::vector<std::vector<int>> cycles[256];
 
@@ -71,6 +82,26 @@ struct MCTable {
       edge_of[kEdgeCorners[e][1]][kEdgeCorners[e][0]] = e;
     }
 
+    // outward-CCW corner order per face: reverse the listed quad when its
+    // geometric normal (cross of the first two boundary edges) points into
+    // the cube instead of out of it
+    int wcorn[6][4];
+    for (int f = 0; f < 6; f++) {
+      const int* fc = kFaceCorners[f];
+      int e1[3], e2[3], nrm[3], out[3] = {0, 0, 0};
+      for (int a = 0; a < 3; a++) {
+        e1[a] = kCornerOff[fc[1]][a] - kCornerOff[fc[0]][a];
+        e2[a] = kCornerOff[fc[2]][a] - kCornerOff[fc[1]][a];
+      }
+      nrm[0] = e1[1] * e2[2] - e1[2] * e2[1];
+      nrm[1] = e1[2] * e2[0] - e1[0] * e2[2];
+      nrm[2] = e1[0] * e2[1] - e1[1] * e2[0];
+      out[f / 2] = (f % 2) ? 1 : -1;  // face list order: -x,+x,-y,+y,-z,+z
+      const bool flip =
+          nrm[0] * out[0] + nrm[1] * out[1] + nrm[2] * out[2] < 0;
+      for (int j = 0; j < 4; j++) wcorn[f][j] = fc[flip ? 3 - j : j];
+    }
+
     for (int cfg = 0; cfg < 256; cfg++) {
       auto inside = [&](int c) { return (cfg >> c) & 1; };
       bool crossed[12];
@@ -78,53 +109,45 @@ struct MCTable {
         crossed[e] =
             inside(kEdgeCorners[e][0]) != inside(kEdgeCorners[e][1]);
 
-      // pair crossed edges within each face
-      int partner[12][2];
-      int n_part[12] = {0};
-      auto add_pair = [&](int ea, int eb) {
-        partner[ea][n_part[ea]++] = eb;
-        partner[eb][n_part[eb]++] = ea;
-      };
+      // directed successor of each crossed edge
+      int nxt[12];
+      for (int e = 0; e < 12; e++) nxt[e] = -1;
       for (int f = 0; f < 6; f++) {
-        const int* fc = kFaceCorners[f];
-        int fe[4];  // face edge j connects corner j -> j+1
+        const int* w = wcorn[f];
+        int fe[4];  // face edge j connects corner w[j] -> w[j+1]
         int k = 0;
         for (int j = 0; j < 4; j++) {
-          fe[j] = edge_of[fc[j]][fc[(j + 1) % 4]];
+          fe[j] = edge_of[w[j]][w[(j + 1) % 4]];
           if (crossed[fe[j]]) k++;
         }
         if (k == 2) {
-          int a = -1, b = -1;
-          for (int j = 0; j < 4; j++)
-            if (crossed[fe[j]]) (a < 0 ? a : b) = fe[j];
-          add_pair(a, b);
-        } else if (k == 4) {
-          // ambiguous face (diagonal corners share sign): connect the two
-          // edges around each INSIDE corner -- determined by the face's
-          // corner signs alone, so neighbor cells always agree.
-          if (inside(fc[0])) {
-            add_pair(fe[3], fe[0]);
-            add_pair(fe[1], fe[2]);
-          } else {
-            add_pair(fe[0], fe[1]);
-            add_pair(fe[2], fe[3]);
+          // segment: from the in->out crossing to the out->in crossing
+          int from = -1, to = -1;
+          for (int j = 0; j < 4; j++) {
+            if (!crossed[fe[j]]) continue;
+            (inside(w[j]) ? from : to) = fe[j];
           }
+          nxt[from] = to;
+        } else if (k == 4) {
+          // ambiguous face (diagonal corners share sign): one segment hugs
+          // each INSIDE corner w[j], directed fe[j] -> fe[j-1] -- the same
+          // in->out to out->in rule, resolved by corner signs alone, so
+          // neighbor cells always agree.
+          for (int j = 0; j < 4; j++)
+            if (inside(w[j])) nxt[fe[j]] = fe[(j + 3) % 4];
         }
       }
 
-      // walk pairings into closed cycles
+      // walk directed successors into closed cycles
       bool used[12] = {false};
       for (int e0 = 0; e0 < 12; e0++) {
         if (!crossed[e0] || used[e0]) continue;
         std::vector<int> cyc;
-        int prev = -1, cur = e0;
+        int cur = e0;
         do {
           cyc.push_back(cur);
           used[cur] = true;
-          int nxt = (partner[cur][0] == prev) ? partner[cur][1]
-                                              : partner[cur][0];
-          prev = cur;
-          cur = nxt;
+          cur = nxt[cur];
         } while (cur != e0);
         if (cyc.size() >= 3) cycles[cfg].push_back(std::move(cyc));
       }
@@ -254,18 +277,9 @@ struct MeshBuilder {
     const auto& cycles = mc_table().cycles[cfg];
     if (cycles.empty()) return;
 
-    // trilinear gradient at the cell center, from the 8 corner values
-    float g[3] = {0.f, 0.f, 0.f};
-    for (int i = 0; i < 8; i++) {
-      g[0] += (i & 1) ? v[i] : -v[i];
-      g[1] += (i & 2) ? v[i] : -v[i];
-      g[2] += (i & 4) ? v[i] : -v[i];
-    }
-
     for (const auto& cyc : cycles) {
-      // vertex index + position per cycle member
+      // vertex index per cycle member
       int32_t idx[12];
-      V3 p[12];
       const int n = static_cast<int>(cyc.size());
       for (int i = 0; i < n; i++) {
         const int* ec = kEdgeCorners[cyc[i]];
@@ -274,27 +288,11 @@ struct MeshBuilder {
         int b[3] = {x + kCornerOff[ec[1]][0], y + kCornerOff[ec[1]][1],
                     z + kCornerOff[ec[1]][2]};
         idx[i] = edge_vertex(a, b);
-        p[i] = {verts[3 * idx[i]], verts[3 * idx[i] + 1],
-                verts[3 * idx[i] + 2]};
       }
-      // Newell normal of the (possibly non-planar) polygon; orient the cycle
-      // so the winding normal points along +gradient (inside -> outside),
-      // matching the gradient-based per-vertex normals.
-      float nrm[3] = {0.f, 0.f, 0.f};
-      for (int i = 0; i < n; i++) {
-        const V3& a = p[i];
-        const V3& b = p[(i + 1) % n];
-        nrm[0] += (a.y - b.y) * (a.z + b.z);
-        nrm[1] += (a.z - b.z) * (a.x + b.x);
-        nrm[2] += (a.x - b.x) * (a.y + b.y);
-      }
-      bool flip = nrm[0] * g[0] + nrm[1] * g[1] + nrm[2] * g[2] < 0.f;
-      for (int i = 1; i + 1 < n; i++) {
-        if (flip)
-          emit(idx[0], idx[i + 1], idx[i]);
-        else
-          emit(idx[0], idx[i], idx[i + 1]);
-      }
+      // the table's directed cycles wind toward the inside (v < level)
+      // region; emit the fan reversed so triangle normals point along
+      // +gradient (inside -> outside), matching the per-vertex normals
+      for (int i = 1; i + 1 < n; i++) emit(idx[0], idx[i + 1], idx[i]);
     }
   }
 

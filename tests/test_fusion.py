@@ -159,14 +159,17 @@ def test_marching_cubes_mc_vs_tetra_golden():
     dev = np.abs(np.linalg.norm(v_mc - c, axis=1) - 11.0)
     assert dev.max() < 0.2, dev.max()
 
-    # consistent orientation: winding normals agree with gradient normals
+    # exact orientation: the table's directed cycles make winding normals
+    # agree with gradient normals on EVERY non-degenerate triangle (the old
+    # Newell-vs-gradient runtime tie-break allowed a ~1% inconsistent tail
+    # on saddle cells)
     tri = v_mc[f_mc]  # [F, 3, 3]
     wind = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     nrm = np.linalg.norm(wind, axis=1)
     ok = nrm > 1e-8
     wind = wind[ok] / nrm[ok, None]
     vnorm = n_mc[f_mc[ok, 0]]
-    assert (np.sum(wind * vnorm, axis=1) > 0).mean() > 0.99
+    assert (np.sum(wind * vnorm, axis=1) > 0).all()
 
 
 def test_ply_writers(tmp_path):
@@ -184,3 +187,29 @@ def test_ply_writers(tmp_path):
     pc_path = tmp_path / "p.ply"
     pcwrite(str(pc_path), pc)
     assert pc_path.read_text().count("\n") == 10 + len(verts)
+
+
+def test_marching_cubes_gyroid_orientation_consistent():
+    """Saddle-rich gyroid volume: every undirected edge must be used exactly
+    once in EACH direction by its two adjacent triangles (true manifold
+    orientation). Ambiguous (k=4) face configurations are common on this
+    surface, which is exactly where a geometric winding tie-break can emit
+    adjacent triangles with opposite orientations."""
+    n = 28
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) * (2 * np.pi / 14)
+    x, y, z = g
+    vol = (np.sin(x) * np.cos(y) + np.sin(y) * np.cos(z)
+           + np.sin(z) * np.cos(x)).astype(np.float32)
+    verts, faces, _ = marching_cubes(vol, level=0.0, method="mc")
+    assert len(faces) > 500
+
+    directed = {}
+    for tri in faces:
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            directed[(a, b)] = directed.get((a, b), 0) + 1
+    for (a, b), cnt in directed.items():
+        assert cnt == 1, f"directed edge {(a, b)} used {cnt}x"
+        # boundary-of-volume edges have no partner; interior ones must have
+        # the reverse exactly once
+        rev = directed.get((b, a), 0)
+        assert rev <= 1
