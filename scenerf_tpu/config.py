@@ -134,6 +134,12 @@ class SceneRFConfig:
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
     remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
+    featurize_gather: str = "taps"     # "taps" | "win2": pyramid bilinear
+                                       # sampling as 4 row-gathers (autodiff
+                                       # scatter-add backward) or as windowed
+                                       # [N,2,C] gathers/scatters exploiting
+                                       # the contiguous corner pairs
+                                       # (ops/gather_scatter.py, bit-identical)
     decoder_conv: str = "conv"         # "conv" | "taps": decoder 3x3 convs as
                                        # nn.Conv (default) or as one im2col
                                        # matmul (ops/conv_taps.py). XLA's conv

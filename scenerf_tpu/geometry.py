@@ -139,18 +139,25 @@ def bilinear_sample(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.n
     return top * (1 - wy) + bot * wy
 
 
-def grid_sample_norm(img: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_norm(img: jnp.ndarray, grid_xy: jnp.ndarray,
+                     impl: str = "taps") -> jnp.ndarray:
     """torch.grid_sample(align_corners=False, padding zeros) over [H, W, C].
 
     grid_xy: [N, 2] normalized coords in [-1, 1]. Returns [N, C].
+    impl: "taps" (4 row-gathers) or "win2" (windowed gather/scatter custom
+    VJP, ops/gather_scatter.py) -- bit-identical results in f32.
     """
     H, W, _ = img.shape
     ix = ((grid_xy[:, 0] + 1.0) * W - 1.0) * 0.5
     iy = ((grid_xy[:, 1] + 1.0) * H - 1.0) * 0.5
+    if impl == "win2":
+        from scenerf_tpu.ops.gather_scatter import bilinear_sample_w2
+        return bilinear_sample_w2(img, ix, iy)
     return bilinear_sample(img, ix, iy)
 
 
-def sample_feats_2d(feat: jnp.ndarray, pix: jnp.ndarray, norm_wh: Tuple[int, int]) -> jnp.ndarray:
+def sample_feats_2d(feat: jnp.ndarray, pix: jnp.ndarray, norm_wh: Tuple[int, int],
+                    impl: str = "taps") -> jnp.ndarray:
     """Sample features at pixel coords, normalizing by a caller-provided (W, H).
 
     feat: [H, W, C]; pix: [N, 2]. Mirrors ref models/utils.py:232-247, where the
@@ -159,7 +166,7 @@ def sample_feats_2d(feat: jnp.ndarray, pix: jnp.ndarray, norm_wh: Tuple[int, int
     """
     norm = jnp.asarray(norm_wh, dtype=pix.dtype)
     grid = (pix / norm) * 2.0 - 1.0
-    return grid_sample_norm(feat, grid)
+    return grid_sample_norm(feat, grid, impl=impl)
 
 
 def sample_pix_features(pix: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:

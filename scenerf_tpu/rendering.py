@@ -69,6 +69,7 @@ def featurize_points(
     inv_K: jnp.ndarray,
     sphere: SphereConfig,
     n_pe_freqs: int = 6,
+    gather_impl: str = "taps",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-point conditioning: (latent [N, d_latent], x_in [N, 39+3]).
 
@@ -76,6 +77,9 @@ def featurize_points(
     the back-projected direction (rounded to grid cells) -> bilinear-sample all
     pyramid scales at coords/scale -> concat; positional-encode the 3D point and
     append the raw view direction.
+
+    gather_impl: "taps" or "win2" (windowed gather/scatter, bit-identical --
+    see ops/gather_scatter.py).
     """
     projected_pix = geo.cam_pts_2_pix(cam_pts, cam_K)  # [N, 2] (-1 behind cam)
     _, sphere_coords, _ = geo.sphere_coords_from_pixels(
@@ -86,7 +90,8 @@ def featurize_points(
     for level, scale in zip(pyramid.levels, SCALES):
         norm_wh = pyramid_norm_size(sphere, scale)
         coords = sphere_coords if scale == 1 else sphere_coords / scale
-        feats.append(geo.sample_feats_2d(level, coords, norm_wh))
+        feats.append(geo.sample_feats_2d(level, coords, norm_wh,
+                                         impl=gather_impl))
     latent = jnp.concatenate(feats, axis=-1)
 
     pe = positional_encoding(cam_pts, num_freqs=n_pe_freqs)
@@ -185,7 +190,7 @@ def render_ray_block(
     ).reshape(-1, 3)
     z_a, x_a = featurize_points(
         pyramid, anchor_pts.reshape(-1, 3), vd_anchor, cam_K, inv_K, cfg.sphere,
-        cfg.n_pe_freqs,
+        cfg.n_pe_freqs, gather_impl=cfg.featurize_gather,
     )
     offsets = gaussian_fn(z_a, x_a).reshape(r, cfg.n_gaussians, 2)
     g_means, g_stds = gaussian_params_from_offsets(
@@ -213,7 +218,7 @@ def render_ray_block(
     vd = jnp.broadcast_to(viewdir_infer[:, None, :], (r, P, 3)).reshape(-1, 3)
     z, x_in = featurize_points(
         pyramid, jax.lax.stop_gradient(pts.reshape(-1, 3)), vd, cam_K, inv_K,
-        cfg.sphere, cfg.n_pe_freqs,
+        cfg.sphere, cfg.n_pe_freqs, gather_impl=cfg.featurize_gather,
     )
     density, rgb = radiance_outputs(field_fn(z, x_in))
     density = density.reshape(r, P)

@@ -1,0 +1,100 @@
+"""ops/gather_scatter.bilinear_sample_w2 vs geometry.bilinear_sample:
+values and gradients (img AND coords) must match bit-for-bit in f32,
+including out-of-bounds and exact-boundary coordinates."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenerf_tpu import geometry as geo
+from scenerf_tpu.ops.gather_scatter import bilinear_sample_w2
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def coords_cases(H, W, rng, n=400):
+    ix = rng.uniform(-2.5, W + 1.5, size=n).astype(np.float32)
+    iy = rng.uniform(-2.5, H + 1.5, size=n).astype(np.float32)
+    # exact boundary / integer / clamp-edge cases
+    ix[:10] = [-1.0, -0.5, 0.0, 0.25, W - 2.0, W - 1.5, W - 1.0, W - 0.5,
+               float(W), 3.0]
+    iy[:10] = [0.0, -1.0, H - 1.0, H - 0.5, float(H), 2.0, -0.25, 1.5,
+               H - 2.0, H - 1.25]
+    return jnp.asarray(ix), jnp.asarray(iy)
+
+
+def test_forward_matches_taps(rng):
+    H, W, C = 13, 17, 5
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng)
+    got = bilinear_sample_w2(img, ix, iy)
+    want = geo.bilinear_sample(img, ix, iy)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gradients_match_taps(rng):
+    H, W, C = 11, 9, 4
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng, n=200)
+    cot = jnp.asarray(rng.normal(size=(200, C)).astype(np.float32))
+
+    def loss_w2(img, ix, iy):
+        return jnp.sum(bilinear_sample_w2(img, ix, iy) * cot)
+
+    def loss_taps(img, ix, iy):
+        return jnp.sum(geo.bilinear_sample(img, ix, iy) * cot)
+
+    g_w2 = jax.grad(loss_w2, argnums=(0, 1, 2))(img, ix, iy)
+    g_tp = jax.grad(loss_taps, argnums=(0, 1, 2))(img, ix, iy)
+    np.testing.assert_allclose(np.asarray(g_w2[0]), np.asarray(g_tp[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_w2[1]), np.asarray(g_tp[1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_w2[2]), np.asarray(g_tp[2]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_forward_close(rng):
+    H, W, C = 12, 16, 8
+    img = jnp.asarray(rng.normal(size=(H, W, C)), jnp.bfloat16)
+    ix, iy = coords_cases(H, W, rng, n=100)
+    got = np.asarray(bilinear_sample_w2(img, ix, iy), np.float32)
+    want = np.asarray(geo.bilinear_sample(img, ix, iy), np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_jit_and_vjp_compile(rng):
+    H, W, C = 8, 8, 3
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng, n=50)
+    f = jax.jit(lambda *a: jnp.sum(bilinear_sample_w2(*a)))
+    g = jax.jit(jax.grad(lambda *a: jnp.sum(bilinear_sample_w2(*a))))
+    assert np.isfinite(float(f(img, ix, iy)))
+    assert np.isfinite(np.asarray(g(img, ix, iy)).sum())
+
+
+def test_model_forward_win2_matches_taps():
+    """Full SceneRF forward loss matches between featurize_gather impls to
+    float-ulp level (f32 tiny config; XLA's FMA/fusion choices differ between
+    the two programs, so exact bit-equality only holds op-level)."""
+    from scenerf_tpu import config as C
+    from scenerf_tpu.data.synthetic import make_batch
+    from scenerf_tpu.model import SceneRF
+
+    cfg_t = C.tiny()
+    cfg_w = cfg_t.replace(featurize_gather="win2")
+    m_t, m_w = SceneRF(cfg_t), SceneRF(cfg_w)
+    variables = m_t.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg_t, 1).items()}
+    key = jax.random.PRNGKey(1)
+    lt, mt, _ = m_t.forward(variables, batch, key, train=False,
+                            with_depth_eval=False)
+    lw, mw, _ = m_w.forward(variables, batch, key, train=False,
+                            with_depth_eval=False)
+    np.testing.assert_allclose(float(lt), float(lw), rtol=1e-6)
+    for k in mt:
+        np.testing.assert_allclose(np.asarray(mt[k]), np.asarray(mw[k]),
+                                   rtol=1e-5, atol=1e-6)
