@@ -134,7 +134,7 @@ class BasicBlock(nn.Module):
     dilation: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    taps: bool = False
+    taps: str = ""  # "" (nn.Conv) | "taps" (im2col matmul) | "taps3" (row dots)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -148,10 +148,10 @@ class BasicBlock(nn.Module):
         if self.taps:
             x = x.astype(self.dtype)
             k1, b1 = Conv3x3Params(self.channels, name="conv1")(x.shape[-1])
-            h = conv_taps.conv3x3(x, k1, b1, d)
+            h = conv_taps.conv3x3(x, k1, b1, d, variant=self.taps)
             h = nn.leaky_relu(bn(h, "bn1"))
             k2, b2 = Conv3x3Params(self.channels, name="conv2")(self.channels)
-            h = conv_taps.conv3x3(h, k2, b2, d)
+            h = conv_taps.conv3x3(h, k2, b2, d, variant=self.taps)
             h = bn(h, "bn2")
             return nn.leaky_relu(h + x)
 
@@ -171,7 +171,7 @@ class UpSampleBN(nn.Module):
     channels: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    taps: bool = False
+    taps: str = ""  # see BasicBlock
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -179,7 +179,8 @@ class UpSampleBN(nn.Module):
         h = jnp.concatenate([up, skip], axis=-1)
         if self.taps:
             k0, b0 = Conv3x3Params(self.channels, name="conv")(h.shape[-1])
-            h = conv_taps.conv3x3(h.astype(self.dtype), k0, b0, 1)
+            h = conv_taps.conv3x3(h.astype(self.dtype), k0, b0, 1,
+                                  variant=self.taps)
         else:
             h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                         name="conv")(h)
@@ -246,8 +247,9 @@ class DecoderSphere(nn.Module):
         max_ch = int(gate) if gate else self.taps_max_ch
 
         def kw(ch):
+            use = impl in ("taps", "taps3") and ch <= max_ch
             return dict(dtype=self.dtype, axis_name=self.axis_name,
-                        taps=(impl == "taps" and ch <= max_ch))
+                        taps=impl if use else "")
 
         x_1_16 = up_cls(F // 2, name="up16", **kw(F // 2))(sph[32], sph[16], train)
         x_1_8 = up_cls(F // 4, name="up8", **kw(F // 4))(x_1_16, sph[8], train)

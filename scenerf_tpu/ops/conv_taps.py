@@ -100,10 +100,45 @@ def _bwd(d, res, g):
 conv3x3_taps.defvjp(_fwd, _bwd)
 
 
+def conv3x3_taps3(x: jnp.ndarray, kernel: jnp.ndarray,
+                  dilation: int = 1) -> jnp.ndarray:
+    """SAME-padded (dilated) 3x3 conv as THREE K=3C row dots.
+
+    Stages only the column taps ([B, H+2d, W, 3C] -- 3x the activation, vs
+    9x for the full im2col) and contracts each kernel row against a row
+    SLICE of that one buffer. No custom VJP: the autodiff backward is dots +
+    slice/pad adds, all layout-friendly; nn.remat above keeps memory
+    bounded. This is the compile-light variant: the full-im2col program
+    stalls the remote TPU compile service despite identical StableHLO size
+    (docs/PERF.md round 3), implicating the 9-operand-concat->dot pattern in
+    backend pass blowup.
+    """
+    B, H, W, C = x.shape
+    d = dilation
+    Co = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    cols3 = jnp.concatenate(
+        [xp[:, :, 0:W], xp[:, :, d:d + W], xp[:, :, 2 * d:2 * d + W]], axis=-1
+    )  # [B, H+2d, W, 3C]
+    wk = kernel.astype(x.dtype).reshape(3, 3 * C, Co)
+    out = None
+    for ky in range(3):
+        rows = cols3[:, ky * d:ky * d + H].reshape(B * H * W, 3 * C)
+        t = jax.lax.dot_general(
+            rows, wk[ky], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+    return out.reshape(B, H, W, Co).astype(x.dtype)
+
+
 def conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
-            dilation: int = 1) -> jnp.ndarray:
-    """conv3x3_taps + bias add, matching nn.Conv's output dtype promotion."""
-    out = conv3x3_taps(x, kernel, dilation)
+            dilation: int = 1, variant: str = "taps") -> jnp.ndarray:
+    """taps conv + bias add, matching nn.Conv's output dtype promotion."""
+    if variant == "taps3":
+        out = conv3x3_taps3(x, kernel, dilation)
+    else:
+        out = conv3x3_taps(x, kernel, dilation)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

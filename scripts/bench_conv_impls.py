@@ -30,7 +30,10 @@ LEVELS = [  # (H, W, C) of the taps-eligible decoder stages + one bigger-C ref
 
 
 def make_fns(impl: str, d: int):
-    if impl == "conv":
+    if impl == "taps3":
+        def one(x, k):
+            return conv_taps.conv3x3_taps3(x, k, d)
+    elif impl == "conv":
         def one(x, k):
             dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
                                                 ("NHWC", "HWIO", "NHWC"))
@@ -79,11 +82,11 @@ def main():
             x0 = jax.random.normal(key, (1, H, W, C), jnp.bfloat16)
             k = jax.random.normal(key, (3, 3, C, C), jnp.float32) * 0.05
             row = f"{H}x{W}x{C} d={d}:"
-            for impl in ("conv", "taps"):
+            for impl in ("conv", "taps", "taps3"):
                 fwd, bwd = make_fns(impl, d)
                 tf = timeit(fwd, x0, k) / N_ITERS * 1e3
                 tb = timeit(bwd, x0, k) / N_ITERS * 1e3
-                row += f"  {impl} fwd={tf:6.2f} fwd+bwd={tb:6.2f} ms/conv"
+                row += f"  {impl}: f={tf:6.2f} fb={tb:6.2f}"
             print(row, flush=True)
 
 

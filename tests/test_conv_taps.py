@@ -17,20 +17,22 @@ def _ref_conv(x, kernel, bias, d):
     ) + bias
 
 
+@pytest.mark.parametrize("variant", ["taps", "taps3"])
 @pytest.mark.parametrize("dilation", [1, 2, 3])
-def test_matches_xla_conv(rng, dilation):
+def test_matches_xla_conv(rng, dilation, variant):
     B, H, W, Ci, Co = 2, 9, 13, 5, 7
     x = jnp.asarray(rng.normal(size=(B, H, W, Ci)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, Ci, Co)).astype(np.float32)) * 0.3
     b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
-    got = conv_taps.conv3x3(x, k, b, dilation)
+    got = conv_taps.conv3x3(x, k, b, dilation, variant=variant)
     want = _ref_conv(x, k, b, dilation)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("variant", ["taps", "taps3"])
 @pytest.mark.parametrize("dilation", [1, 3])
-def test_gradients_match_xla_conv(rng, dilation):
+def test_gradients_match_xla_conv(rng, dilation, variant):
     B, H, W, Ci, Co = 1, 8, 10, 4, 6
     x = jnp.asarray(rng.normal(size=(B, H, W, Ci)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, Ci, Co)).astype(np.float32)) * 0.3
@@ -38,7 +40,7 @@ def test_gradients_match_xla_conv(rng, dilation):
     cot = jnp.asarray(rng.normal(size=(B, H, W, Co)).astype(np.float32))
 
     def loss_taps(x, k, b):
-        return (conv_taps.conv3x3(x, k, b, dilation) * cot).sum()
+        return (conv_taps.conv3x3(x, k, b, dilation, variant=variant) * cot).sum()
 
     def loss_ref(x, k, b):
         return (_ref_conv(x, k, b, dilation) * cot).sum()
