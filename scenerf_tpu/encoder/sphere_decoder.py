@@ -66,7 +66,8 @@ def build_sphere_maps(
     return maps
 
 
-def sphere_scatter_gather(feat: jnp.ndarray, sphere_map: jnp.ndarray) -> jnp.ndarray:
+def sphere_scatter_gather(feat: jnp.ndarray, sphere_map: jnp.ndarray,
+                          impl: str = "taps") -> jnp.ndarray:
     """Resample an image-space feature map [h, w, C] onto the spherical grid.
 
     sphere_map: [out_H, out_W, 2] image pixel coords (sentinel -10 lands far
@@ -77,7 +78,7 @@ def sphere_scatter_gather(feat: jnp.ndarray, sphere_map: jnp.ndarray) -> jnp.nda
     out_H, out_W, _ = sphere_map.shape
     flat = sphere_map.reshape(-1, 2)
     grid = jnp.stack([flat[:, 0] / w, flat[:, 1] / h], axis=-1) * 2.0 - 1.0
-    vals = geo.grid_sample_norm(feat, grid)  # [out_H*out_W, C]
+    vals = geo.grid_sample_norm(feat, grid, impl=impl)  # [out_H*out_W, C]
     return vals.reshape(out_H, out_W, -1)
 
 
@@ -204,6 +205,9 @@ class DecoderSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
+    gather_impl: str = "taps"   # bilinear resample impl: "taps" | "win2"
+                                # (shared with rendering.featurize_points --
+                                # see ops/gather_scatter.py)
     conv_impl: str = "conv"     # "conv" (nn.Conv) | "taps" (im2col matmul,
                                 # the TPU-fast path -- ops/conv_taps.py);
                                 # "taps:N" overrides the channel gate below
@@ -231,7 +235,9 @@ class DecoderSphere(nn.Module):
 
         x32 = nn.Conv(F, (1, 1), dtype=self.dtype, name="conv2")(taps["s32"])
 
-        gather = jax.vmap(sphere_scatter_gather, in_axes=(0, None))
+        gather = jax.vmap(
+            lambda f, m: sphere_scatter_gather(f, m, impl=self.gather_impl),
+            in_axes=(0, None))
         sph = {
             1: gather(taps["s1"], maps[1]),
             2: gather(taps["s2"], maps[2]),

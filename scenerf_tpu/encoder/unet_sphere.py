@@ -22,6 +22,7 @@ class UNet2DSphere(nn.Module):
     axis_name: str | None = None
     remat: bool = True
     conv_impl: str = "conv"  # decoder convs: "conv" | "taps" (see DecoderSphere)
+    gather_impl: str = "taps"  # sphere-resample bilinear impl: "taps" | "win2"
 
     def setup(self):
         self.backbone = make_backbone(
@@ -31,7 +32,7 @@ class UNet2DSphere(nn.Module):
         self.decoder = DecoderSphere(
             num_features=self.num_features, sphere=self.sphere,
             dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
-            conv_impl=self.conv_impl,
+            conv_impl=self.conv_impl, gather_impl=self.gather_impl,
         )
 
     def __call__(self, img: jnp.ndarray, pix: jnp.ndarray, pix_sphere: jnp.ndarray,

@@ -63,6 +63,7 @@ class SceneRF:
             axis_name=axis_name,
             remat=cfg.remat_encoder,
             conv_impl=cfg.decoder_conv,
+            gather_impl=cfg.featurize_gather,
         )
         self.d_latent = decoder_latent_dim(cfg.encoder_features)
         self.mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden,
