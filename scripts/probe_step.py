@@ -11,7 +11,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sources", type=int, default=2)
-    ap.add_argument("--decoder_conv", default="taps")
+    ap.add_argument("--decoder_conv", default="conv")
+    ap.add_argument("--featurize_gather", default="taps")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat_encoder", action="store_true")
     args = ap.parse_args()
@@ -29,8 +30,10 @@ def main():
 
     cfg = C.kitti(n_sources=args.sources, ray_chunk=1200, n_gt_depth=256,
                   compute_dtype="bfloat16", remat_encoder=args.remat_encoder,
-                  decoder_conv=args.decoder_conv)
-    print(f"[probe] decoder_conv={args.decoder_conv} sources={args.sources} "
+                  decoder_conv=args.decoder_conv,
+                  featurize_gather=args.featurize_gather)
+    print(f"[probe] decoder_conv={args.decoder_conv} "
+          f"featurize_gather={args.featurize_gather} sources={args.sources} "
           f"backend={jax.default_backend()}", flush=True)
 
     mesh = make_mesh(jax.devices()[:1])
