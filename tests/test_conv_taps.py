@@ -67,13 +67,14 @@ def test_bf16_accumulates_f32(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
-def test_decoder_taps_matches_conv_end_to_end(rng):
-    """DecoderSphere conv_impl='taps' == 'conv' on identical params/stats
-    (checkpoint interchangeability)."""
+@pytest.mark.parametrize("variant", ["taps", "taps3"])
+def test_decoder_taps_matches_conv_end_to_end(rng, variant):
+    """DecoderSphere conv_impl in ('taps', 'taps3') == 'conv' on identical
+    params/stats (checkpoint interchangeability)."""
     from scenerf_tpu import config as C
     from scenerf_tpu.model import SceneRF
 
-    cfg_t = C.tiny(decoder_conv="taps")
+    cfg_t = C.tiny(decoder_conv=variant)
     cfg_c = cfg_t.replace(decoder_conv="conv")
     m_taps, m_conv = SceneRF(cfg_t), SceneRF(cfg_c)
     variables = m_taps.init(jax.random.PRNGKey(0))
