@@ -35,12 +35,14 @@ def make_fns(impl: str, d: int):
             return conv_taps.conv3x3_taps3(x, k, d)
     elif impl == "conv":
         def one(x, k):
+            # uniform dtype, no preferred_element_type: conv transpose can't
+            # handle mixed bf16/f32 operands, and the TPU MXU accumulates in
+            # f32 for bf16 convs regardless (matches the production nn.Conv)
             dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
                                                 ("NHWC", "HWIO", "NHWC"))
             return jax.lax.conv_general_dilated(
                 x, k.astype(x.dtype), (1, 1), "SAME", rhs_dilation=(d, d),
-                dimension_numbers=dn, preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+                dimension_numbers=dn)
     else:
         def one(x, k):
             return conv_taps.conv3x3_taps(x, k, d)
