@@ -46,10 +46,45 @@ reports which rung ran via the metric name suffix.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# --- claim watchdog (VERDICT r3 item 2) --------------------------------------
+# A wedged TPU grant makes every device-claim attempt hang 25-40+ min; without
+# a watchdog the bench dies rc=124 with an empty tail and the driver records
+# nothing.  A daemon thread enforces two deadlines and emits the [failed] JSON
+# line itself (os._exit works even when the main thread is stuck in a C call):
+#   SCENERF_BENCH_CLAIM_TIMEOUT_S  (default 1200 s) -- device must attach
+#   SCENERF_BENCH_TOTAL_TIMEOUT_S  (default 3000 s) -- a result must print
+_progress = {"claimed": False, "printed": False}
+
+
+def _watchdog():
+    claim_s = float(os.environ.get("SCENERF_BENCH_CLAIM_TIMEOUT_S", 1200))
+    total_s = float(os.environ.get("SCENERF_BENCH_TOTAL_TIMEOUT_S", 3000))
+    t0 = time.time()
+    while True:
+        time.sleep(5)
+        el = time.time() - t0
+        if _progress["printed"]:
+            return
+        err = None
+        if not _progress["claimed"] and el > claim_s:
+            err = f"device claim timeout after {el:.0f}s"
+        elif el > total_s:
+            err = f"bench total timeout after {el:.0f}s"
+        if err:
+            print(json.dumps({
+                "metric": "train_rays_per_sec_per_chip[failed]",
+                "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                "error": err,
+            }), flush=True)
+            sys.stdout.flush()
+            os._exit(1)
 
 REF_ENCODER_S = 0.25   # est. reference B7 fwd/bwd, amortized over sources
 REF_RENDER_S = 1.25    # est. reference 1200-ray serial chunked render, per source
@@ -126,10 +161,16 @@ def measure(cfg, steps=5):
 
 
 def main():
+    import jax
+
     from scenerf_tpu import config as C
     from scenerf_tpu.utils.jax_setup import setup_compilation_cache
 
+    threading.Thread(target=_watchdog, daemon=True).start()
     setup_compilation_cache()
+    dev = jax.devices()[0]  # blocks until the device grant attaches
+    _progress["claimed"] = True
+    print(f"[bench] device attached: {dev.device_kind}", file=sys.stderr)
 
     # bf16 compute (f32 params/optimizer) with n_sources=2 is the production
     # training config (docs/PERF.md: paired 300-step quality runs show bf16
@@ -187,9 +228,11 @@ def main():
             except Exception as e:
                 print(f"[bench] 1-source variant failed: {e}", file=sys.stderr)
 
+        _progress["printed"] = True
         print(json.dumps(result))
         return 0
 
+    _progress["printed"] = True
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip[failed]",
         "value": 0.0,

@@ -137,17 +137,20 @@ class SceneRFConfig:
     featurize_gather: str = "taps"     # "taps" | "win2": pyramid bilinear
                                        # sampling as 4 row-gathers (autodiff
                                        # scatter-add backward) or as windowed
-                                       # [N,2,C] gathers/scatters exploiting
-                                       # the contiguous corner pairs
-                                       # (ops/gather_scatter.py, bit-identical)
-    decoder_conv: str = "conv"         # "conv" | "taps": decoder 3x3 convs as
-                                       # nn.Conv (default) or as one im2col
-                                       # matmul (ops/conv_taps.py). XLA's conv
-                                       # emitter loses time to layout churn at
-                                       # the spherical-grid shapes, but the
-                                       # taps flagship program has not yet
-                                       # compiled on the remote TPU service
-                                       # (docs/PERF.md round 3)
+                                       # [N,2,C] gathers/scatters. MEASURED
+                                       # (docs/PERF.md round 4): win2 is ~15x
+                                       # slower at the 160-ch stage on v5e;
+                                       # taps is the decided default, win2
+                                       # kept as a bit-identical alternate
+    decoder_conv: str = "conv"         # "conv" | "taps" | "taps3": decoder
+                                       # 3x3 convs as nn.Conv or as im2col
+                                       # matmuls (ops/conv_taps.py). MEASURED
+                                       # (docs/PERF.md round 4): XLA's native
+                                       # conv wins at every stage shape (2x
+                                       # at 452x1500x80) -- the im2col K=9C
+                                       # concat is bandwidth-bound. conv is
+                                       # the decided default; taps/taps3 kept
+                                       # as parity-tested alternates
 
     # ---------------------------------------------------------------- helpers
     @property
