@@ -49,16 +49,24 @@ with open(os.path.join(seq, "calib.txt"), "w") as f:
 H, W = 376, 1241
 fx, fy, cx, cy = P2[0, 0], P2[1, 1], P2[0, 2], P2[1, 2]
 # P2 = [K | K b]: projecting cam0-frame X yields K(X + b) -- i.e. the image
-# camera (cam2) sits at -b in the cam0 frame. Rendering from c - b makes the
-# images pixel-exact with LiDAR GT projected through P2 (incl. its z shift).
+# camera (cam2) sits at -b in the cam0 frame. The LOADER (data/calib.py
+# T_cam0_2_cam2 + kitti.lidar_to_depth) models only the x component of b
+# (the KITTI stereo baseline, P2[0,3]/fx) and projects through K, so render
+# from the loader's camera model -- c - [P2[0,3]/fx, 0, 0] -- to make the
+# images pixel-exact with the depth GT the loader produces (ADVICE r3:
+# using the full K^-1 P2[:,3] here left a ~4 mm x / 5 mm z mismatch, up to
+# ~1.5 px at the nearest GT depths).
 K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-b_cam2 = np.linalg.solve(K, P2[:, 3])
+b_cam2 = np.array([P2[0, 3] / fx, 0.0, 0.0])
 
 # world frame == cam frame of pose 0 (x right, y down, z forward); the world
 # surfaces are FIXED while the camera advances along +z
 GROUND_Y = 1.65       # ground plane y = +1.65 (below the camera)
 WALL_X = (-10.0, 10.0)  # side walls
-FAR_Z = 90.0          # back wall
+FAR_Z = 75.0          # back wall; inside eval_depth=80 so far-wall LiDAR
+                      # returns survive the max-depth cut for ALL frames
+                      # (ADVICE r3: at 90 the far 25% of each scan was
+                      # filtered out of depth GT for frames 0-19)
 
 
 def world_rgb(x, y, z, sx, sy, sz):
