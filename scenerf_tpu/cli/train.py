@@ -56,14 +56,15 @@ def run_training(
         n_dev = len(devices)
     mesh = make_mesh(devices[:n_dev])
 
-    # multi-host input sharding: each process reads only its slice of every
-    # global batch; parallel.mesh.shard_batch assembles the global array
+    # multi-host input: data mode slices each global batch per process
+    # (shard_batch_multihost assembles it); ray modes REPLICATE the batch, so
+    # every process loads the identical full batch (same seed => same order)
+    # and parallel.mesh.replicate assembles the replicated global array from
+    # the per-process copies (tests/test_multihost.py exercises both on a
+    # real 2-process cluster)
     p_idx, p_cnt = jax.process_index(), jax.process_count()
-    if p_cnt > 1 and parallel_mode != "data":
-        raise NotImplementedError(
-            f"parallel_mode={parallel_mode} replicates the batch via "
-            "device_put and is single-process only; use parallel_mode=data "
-            "for multi-host runs")
+    if parallel_mode != "data":
+        p_idx, p_cnt = 0, 1  # unsliced loaders: identical batches everywhere
     train_loader = DataLoader(train_ds, collate, batch_size=global_batch_size,
                               shuffle=True, limit_fraction=limit_train_fraction,
                               seed=seed, process_index=p_idx,

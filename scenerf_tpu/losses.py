@@ -104,26 +104,34 @@ def depth_metrics(
     mask: jnp.ndarray | None = None,
     min_depth: float = 1e-3,
     max_depth: float = 80.0,
+    axis_name: str | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """abs_rel / sq_rel / rmse / rmse_log / a1 / a2 / a3
     (ref loss/depth_metrics.py:3-23), with an optional validity mask for padded
-    GT pixels. Predictions are clamped to [min_depth, max_depth]."""
+    GT pixels. Predictions are clamped to [min_depth, max_depth].
+
+    With `axis_name`, each mean psums its numerator/denominator across the
+    mesh axis, so metrics over GT rows sharded across devices reproduce the
+    unsharded metrics (rmse/rmse_log take the sqrt AFTER the global mean)."""
     pred = jnp.clip(pred, min_depth, max_depth)
     if mask is None:
         mask = jnp.ones_like(gt, dtype=bool)
     gt_safe = jnp.where(mask, gt, 1.0)
 
+    def mmean(x):
+        return masked_mean(x, mask, axis_name=axis_name)
+
     thresh = jnp.maximum(gt_safe / pred, pred / gt_safe)
     out = {
-        "a1": masked_mean((thresh < 1.25).astype(jnp.float32), mask),
-        "a2": masked_mean((thresh < 1.25 ** 2).astype(jnp.float32), mask),
-        "a3": masked_mean((thresh < 1.25 ** 3).astype(jnp.float32), mask),
-        "rmse": jnp.sqrt(masked_mean((gt_safe - pred) ** 2, mask)),
+        "a1": mmean((thresh < 1.25).astype(jnp.float32)),
+        "a2": mmean((thresh < 1.25 ** 2).astype(jnp.float32)),
+        "a3": mmean((thresh < 1.25 ** 3).astype(jnp.float32)),
+        "rmse": jnp.sqrt(mmean((gt_safe - pred) ** 2)),
         "rmse_log": jnp.sqrt(
-            masked_mean((jnp.log(gt_safe) - jnp.log(pred)) ** 2, mask)
+            mmean((jnp.log(gt_safe) - jnp.log(pred)) ** 2)
         ),
-        "abs_rel": masked_mean(jnp.abs(gt_safe - pred) / gt_safe, mask),
-        "sq_rel": masked_mean((gt_safe - pred) ** 2 / gt_safe, mask),
+        "abs_rel": mmean(jnp.abs(gt_safe - pred) / gt_safe),
+        "sq_rel": mmean((gt_safe - pred) ** 2 / gt_safe),
     }
     return out
 

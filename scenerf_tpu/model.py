@@ -95,7 +95,7 @@ class SceneRF:
         step (~21 ms/step on v5e)."""
         from scenerf_tpu.encoder.sphere_decoder import build_sphere_maps
 
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]  # process-local (multi-host)
         with jax.default_device(cpu):
             inv_K = jnp.linalg.inv(jnp.asarray(cam_K))
             pix, pix_sphere, _ = geo.sphere_coords_from_pixels(
@@ -272,17 +272,38 @@ class SceneRF:
                 # depth metrics at GT pixels -- pure logging, no gradient
                 # (ref scenerf.py:190-201)
                 sg = jax.lax.stop_gradient
+                gt_pix, gt_depth, gt_mask = (
+                    src["gt_pix"], src["gt_depth"], src["gt_mask"])
+                ev_offset: Any = 0
+                ev_total = None
+                if ray_shard_n > 1:
+                    # shard the GT rows across the mesh like the train rays
+                    # (otherwise this no-grad render runs replicated on every
+                    # device); metric masked means psum num/den below so the
+                    # sharded metrics equal the replicated ones
+                    gn = gt_pix.shape[0] // ray_shard_n
+                    idx = jax.lax.axis_index(self.axis_name)
+                    ev_offset = idx * gn
+                    ev_total = gt_pix.shape[0]
+                    gt_pix = jax.lax.dynamic_slice(
+                        gt_pix, (ev_offset, 0), (gn, 2))
+                    gt_depth = jax.lax.dynamic_slice(
+                        gt_depth, (ev_offset,), (gn,))
+                    gt_mask = jax.lax.dynamic_slice(
+                        gt_mask, (ev_offset,), (gn,))
                 eval_out = R.render_rays(
-                    k_gt, src["gt_pix"],
+                    k_gt, gt_pix,
                     jax.tree_util.tree_map(sg, pyramid), item_K,
                     sg(src["T_source2infer"]),
                     lambda z, x: sg(field_fn(sg(z), sg(x))),
                     lambda z, x: sg(gauss_fn(sg(z), sg(x))),
                     cfg, ray_chunk=cfg.eval_ray_chunk, remat=False,
+                    row_offset=ev_offset, total_rows=ev_total,
                 )
                 dm = L.depth_metrics(
-                    src["gt_depth"], eval_out["depth"],
-                    mask=src["gt_mask"] > 0, max_depth=cfg.eval_depth,
+                    gt_depth, eval_out["depth"],
+                    mask=gt_mask > 0, max_depth=cfg.eval_depth,
+                    axis_name=self.axis_name if ray_shard_n > 1 else None,
                 )
                 res.update({f"depth/{k}": v for k, v in dm.items()})
             return res

@@ -55,7 +55,23 @@ def shard_batch_multihost(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a host tree over the mesh (the ray modes' batch
+    layout: same items on every device, rays sharded/sampled per device).
+
+    Multi-host: every process must hold the SAME host data (ray-mode loaders
+    are deliberately unsliced -- same seed, same order on every process); the
+    replicated global array is assembled from each process's full copy via
+    make_array_from_process_local_data, so ray modes run across hosts with
+    DCN carrying no batch data at all. device_put is deliberately avoided
+    under multi-process: its cross-process consistency check
+    (multihost_utils.assert_equal) is a Gloo allgather with a hard 30 s
+    deadline that spuriously fails when processes are skewed by compile
+    time. Used for ALL replicated puts (batches, TrainState, sphere maps)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)), tree)
     return jax.device_put(tree, sharding)
 
 

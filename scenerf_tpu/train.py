@@ -20,12 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from scenerf_tpu.config import SceneRFConfig
 from scenerf_tpu.model import SceneRF
-from scenerf_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from scenerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicate
 
 
 class TrainState(struct.PyTreeNode):
@@ -110,13 +110,18 @@ class Trainer:
         # Initialize on host CPU: eager per-op dispatch of a deep encoder to a
         # (possibly remote) accelerator is pathologically slow, and the init
         # graph is not worth an XLA compile. One device_put ships the tree.
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: under multi-process the global device
+        # list starts with process 0's devices, which other processes cannot
+        # create arrays on
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             variables = self.model.init(key)
             params = {k: variables[k]["params"] for k in variables}
             opt_state = self.tx.init(params)
             state = TrainState.from_variables(variables, opt_state)
-        return jax.device_put(state, NamedSharding(self.mesh, P()))
+        # replicate() (not device_put) so multi-process runs skip the
+        # 30s-deadline Gloo consistency check (see parallel.mesh.replicate)
+        return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------ steps
     def _build_step(self, train: bool):
@@ -128,6 +133,11 @@ class Trainer:
         if ray_shard_n > 1 and cfg.n_rays % ray_shard_n:
             raise ValueError(f"n_rays={cfg.n_rays} must be a multiple of the "
                              f"mesh size {ray_shard_n} for ray_shard")
+        if ray_shard_n > 1 and with_depth_eval and cfg.n_gt_depth % ray_shard_n:
+            raise ValueError(
+                f"n_gt_depth={cfg.n_gt_depth} must be a multiple of the mesh "
+                f"size {ray_shard_n} for ray_shard with depth eval (the GT "
+                f"rows are sharded across the mesh like the train rays)")
 
         def per_shard(state: TrainState, batch, key, sphere_maps):
             # fold in step + device INSIDE the program: host-side fold_in is a
@@ -188,7 +198,7 @@ class Trainer:
         maps = self._maps_cache.get(key)
         if maps is None:
             maps = self.model.compute_sphere_maps(cam_K)
-            maps = jax.device_put(maps, NamedSharding(self.mesh, P()))
+            maps = replicate(maps, self.mesh)
             self._maps_cache[key] = maps
         return maps
 

@@ -139,6 +139,10 @@ def main():
         "f32x1": make_cfg("float32", 1).replace(remat_encoder=True),
         "bf16x2": make_cfg("bfloat16", 2),
         "f32x2": make_cfg("float32", 2).replace(remat_encoder=True),
+        # 4-source arms: the config default (config.py n_sources=4) -- the
+        # encoder amortizes over 2x the supervision rays of the 2-src flagship
+        "bf16x4": make_cfg("bfloat16", 4),
+        "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
     }
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}

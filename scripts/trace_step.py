@@ -19,8 +19,9 @@ from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
 from scenerf_tpu.train import Trainer
 
 N_SOURCES = int(os.environ.get("TRACE_SOURCES", "1"))
+REMAT = os.environ.get("TRACE_REMAT", "0") == "1"
 cfg = C.kitti(n_sources=N_SOURCES, ray_chunk=1200, n_gt_depth=256,
-              compute_dtype="bfloat16", remat_encoder=False)
+              compute_dtype="bfloat16", remat_encoder=REMAT)
 mesh = make_mesh(jax.devices()[:1])
 trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000, with_depth_eval=False)
 state = trainer.create_state(jax.random.PRNGKey(0))

@@ -22,8 +22,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_input_path():
+def _run_workers(mode: str, timeout: int):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     env = dict(os.environ)
@@ -33,7 +32,7 @@ def test_two_process_input_path():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), "2"],
+            [sys.executable, worker, str(port), str(pid), "2", mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -41,7 +40,7 @@ def test_two_process_input_path():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -52,3 +51,25 @@ def test_two_process_input_path():
         tail = "\n".join(out.splitlines()[-30:])
         assert p.returncode == 0, f"worker {pid} failed:\n{tail}"
         assert f"MULTIHOST_OK {pid}" in out, f"worker {pid} output:\n{tail}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_input_path():
+    _run_workers("input", timeout=240)
+
+
+@pytest.mark.slow
+def test_two_process_ray_shard_step():
+    """A real ray_shard train step across a 2-process 4-device mesh:
+    replicated batch assembled from per-process copies, rays row-sliced by
+    global axis_index, psum'd loss identical on both processes (the
+    multi-host half of SURVEY 2.2; single-process exactness is proven in
+    tests/test_train.py)."""
+    outs = _run_workers("rayshard", timeout=600)
+    losses = set()
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RAYSHARD_LOSS"):
+                losses.add(line.split()[1])
+    assert len(losses) == 1, f"processes disagree on loss: {losses}"

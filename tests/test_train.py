@@ -185,6 +185,34 @@ def test_ray_shard_exact(cfg, n_dev):
                                    rtol=1e-4, atol=2e-5)
 
 
+def test_ray_shard_depth_eval_matches_unsharded(cfg):
+    """The ray_shard depth-eval render shards the GT rows across the mesh
+    (each device renders n_gt_depth/n rays, metric masked means psum num/den):
+    the logged depth metrics must equal the 1-device replicated render's."""
+    from scenerf_tpu.parallel.mesh import replicate
+
+    mesh = make_mesh(jax.devices()[:4])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10,
+                      with_depth_eval=True, ray_shard=True)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch_np = make_batch(cfg, batch_size=1)
+    m = trainer.val_step(state, replicate(batch_np, mesh),
+                         jax.random.PRNGKey(1))
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    trainer1 = Trainer(cfg, mesh=mesh1, steps_per_epoch=10,
+                       with_depth_eval=True)
+    state1 = trainer1.create_state(jax.random.PRNGKey(0))
+    b1 = shard_batch(make_batch(cfg, batch_size=1), mesh1)
+    m1 = trainer1.val_step(state1, b1, jax.random.PRNGKey(1))
+
+    depth_keys = [k for k in m if k.startswith("depth/")]
+    assert depth_keys
+    for k in depth_keys:
+        np.testing.assert_allclose(float(m[k]), float(m1[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_ray_shard_trainer_step_matches_unsharded(cfg):
     """End-to-end Trainer parity: the ray_shard train step's loss metric
     equals the 1-device data-mode step's (the fold_in(key, 0) derivation is
