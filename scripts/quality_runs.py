@@ -143,6 +143,11 @@ def main():
         # encoder amortizes over 2x the supervision rays of the 2-src flagship
         "bf16x4": make_cfg("bfloat16", 4),
         "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
+        # 8-source arms: the render is a lax.scan over sources (constant
+        # memory), so the only cost of more sources is step time -- probe
+        # the far end of the encoder-amortization curve
+        "bf16x8": make_cfg("bfloat16", 8),
+        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True),
     }
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
