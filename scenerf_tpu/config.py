@@ -134,6 +134,14 @@ class SceneRFConfig:
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
     remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
+    remat_field: bool = False          # jax.checkpoint featurize+field MLP of
+                                       # each render block: drops the [N,
+                                       # d_latent] gather concat and the MLP
+                                       # hiddens from saved residuals (the two
+                                       # largest render buffers; 1.46G +
+                                       # 4x300M at 4 sources) for a ~5-10 ms
+                                       # gather+matmul recompute in backward.
+                                       # Bit-identical outputs/grads
     featurize_gather: str = "taps"     # "taps" | "win2": pyramid bilinear
                                        # sampling as 4 row-gathers (autodiff
                                        # scatter-add backward) or as windowed

@@ -216,11 +216,22 @@ def render_ray_block(
     # --- field evaluation (positions detached, ref scenerf.py:661-665) ----
     P = sd.shape[1]
     vd = jnp.broadcast_to(viewdir_infer[:, None, :], (r, P, 3)).reshape(-1, 3)
-    z, x_in = featurize_points(
-        pyramid, jax.lax.stop_gradient(pts.reshape(-1, 3)), vd, cam_K, inv_K,
-        cfg.sphere, cfg.n_pe_freqs, gather_impl=cfg.featurize_gather,
-    )
-    density, rgb = radiance_outputs(field_fn(z, x_in))
+
+    def field_eval(pyr, pts_flat, vd_flat):
+        z, x_in = featurize_points(
+            pyr, pts_flat, vd_flat, cam_K, inv_K,
+            cfg.sphere, cfg.n_pe_freqs, gather_impl=cfg.featurize_gather,
+        )
+        return radiance_outputs(field_fn(z, x_in))
+
+    if cfg.remat_field:
+        # Save only the [N, 4] field outputs; the [N, d_latent] gather concat
+        # and the MLP hiddens (the largest render residuals) are recomputed in
+        # the backward pass. pyramid/pts are live regardless, so peak saved
+        # memory drops by ~d_latent+d_hidden per sample point.
+        field_eval = jax.checkpoint(field_eval)
+    density, rgb = field_eval(
+        pyramid, jax.lax.stop_gradient(pts.reshape(-1, 3)), vd)
     density = density.reshape(r, P)
     rgb = rgb.reshape(r, P, 3)
 

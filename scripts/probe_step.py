@@ -15,6 +15,7 @@ def main():
     ap.add_argument("--featurize_gather", default="taps")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat_encoder", action="store_true")
+    ap.add_argument("--remat_field", action="store_true")
     args = ap.parse_args()
 
     from scenerf_tpu.utils.jax_setup import setup_compilation_cache
@@ -30,10 +31,12 @@ def main():
 
     cfg = C.kitti(n_sources=args.sources, ray_chunk=1200, n_gt_depth=256,
                   compute_dtype="bfloat16", remat_encoder=args.remat_encoder,
+                  remat_field=args.remat_field,
                   decoder_conv=args.decoder_conv,
                   featurize_gather=args.featurize_gather)
     print(f"[probe] decoder_conv={args.decoder_conv} "
           f"featurize_gather={args.featurize_gather} sources={args.sources} "
+          f"remat_encoder={args.remat_encoder} remat_field={args.remat_field} "
           f"backend={jax.default_backend()}", flush=True)
 
     mesh = make_mesh(jax.devices()[:1])

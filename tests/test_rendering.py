@@ -152,6 +152,35 @@ def test_render_rays_row_slice_matches_full():
             np.asarray(full["loss_kl"][off:off + 16]), rtol=1e-4, atol=1e-5)
 
 
+def test_render_rays_remat_field_identical():
+    """remat_field checkpoints featurize+field-MLP (memory lever for high
+    source counts); outputs and pyramid grads must match the uncheckpointed
+    render (same ops recomputed -- only instruction scheduling may differ)."""
+    cfg, pyramid, K, T, field_fn, gauss_fn, key = _toy_setup()
+    pixels = jnp.stack([jnp.linspace(2, 60, 16), jnp.linspace(2, 44, 16)], -1)
+
+    def loss_fn(levels, c):
+        pyr = R.FeaturePyramid(levels=levels)
+        out = R.render_rays(key, pixels, pyr, K, T, field_fn, gauss_fn, c,
+                            ray_chunk=16)
+        loss = out["depth"].mean() + out["color"].mean() + out["loss_kl"].mean()
+        return loss, out
+
+    (l0, out0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        pyramid.levels, cfg)
+    (l1, out1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        pyramid.levels, cfg.replace(remat_field=True))
+
+    np.testing.assert_array_equal(np.asarray(out0["depth"]),
+                                  np.asarray(out1["depth"]))
+    np.testing.assert_array_equal(np.asarray(out0["color"]),
+                                  np.asarray(out1["color"]))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=0, atol=0)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_render_rays_gradients_finite():
     cfg, pyramid, K, T, field_fn, gauss_fn, key = _toy_setup()
     pixels = jnp.stack([jnp.linspace(2, 60, 16), jnp.linspace(2, 44, 16)], -1)
