@@ -6,10 +6,13 @@ the extra keys make the number auditable (VERDICT r2 item 3):
   vs_baseline          -- value / source-matched reference estimate (below)
   vs_baseline_1src     -- the 1-source step measured the same way
   value_1src           -- 1-source rays/s/chip
-  mfu                  -- model-FLOP utilization of the flagship step:
-                          compiled-program FLOPs (XLA cost analysis; the
-                          flagship runs remat-free so program ~= model FLOPs)
-                          / step time / chip peak bf16 FLOP/s
+  mfu                  -- hardware FLOP utilization of the flagship step:
+                          compiled-program FLOPs (XLA cost analysis) / step
+                          time / chip peak bf16 FLOP/s. The 4-source flagship
+                          runs with encoder remat (no-remat 4-src exceeds the
+                          16G HBM by 191 MB -- docs/PERF.md), so program FLOPs
+                          include the encoder replay; the model-FLOP MFU is
+                          ~0.84x this number (13.84/16.54 TF)
   step_ms              -- pipelined step wall time (10 enqueue-chained
                           donated-state steps, one block -- matches the
                           production loop, which syncs metrics every N steps)
@@ -20,8 +23,11 @@ the extra keys make the number auditable (VERDICT r2 item 3):
 Workload: the reference's published KITTI training config (EfficientNet-B7
 spherical U-Net at 1220x370, sphere 1500x452, 1200 rays x 64 PrSamp samples,
 bs=1/chip -- ref README.md:172-184, scenerf.py:29-65) driven by the fused
-jit(shard_map) train step; the flagship uses bf16 compute + n_sources=2
-(quality-validated, docs/PERF.md round 2).
+jit(shard_map) train step; the flagship uses bf16 compute + n_sources=4 +
+encoder remat (quality-validated: the 3-seed x 5-arm 200-step table shows
+per-STEP quality flat across 1/2/4 sources and bf16 == f32 at every count,
+and the 1k-step long-horizon runs show 4-src matching 2-src to the fixture's
+val floor -- docs/PERF.md round 4; remat arms are bit-identical math).
 
 Baseline model (the reference publishes no throughput numbers -- BASELINE.md):
 a 1-source reference step on V100 renders 1200 rays through a serial 100-ray
@@ -32,6 +38,7 @@ reference step is ~(0.25 + 1.25 n) s for 1200 n rays:
 
     n_sources=1: 1200 / 1.50 s = 800 rays/s
     n_sources=2: 2400 / 2.75 s = 873 rays/s
+    n_sources=4: 4800 / 5.25 s = 914 rays/s
 
 vs_baseline always divides by the SAME source count's estimate (no free 2x
 from comparing a 2-source step against a 1-source denominator). These are
@@ -174,20 +181,25 @@ def main():
     _progress["claimed"] = True
     print(f"[bench] device attached: {dev.device_kind}", file=sys.stderr)
 
-    # bf16 compute (f32 params/optimizer) with n_sources=2 is the production
-    # training config (docs/PERF.md: paired 300-step quality runs show bf16
-    # matches-or-beats f32 at both source counts, and 2-source reaches better
-    # val abs_rel per step while amortizing the encoder).
-    flagship = C.kitti(n_sources=2, ray_chunk=1200, n_gt_depth=256,
-                       compute_dtype="bfloat16", remat_encoder=False)
-    single = flagship.replace(n_sources=1)
+    # bf16 compute (f32 params/optimizer) with n_sources=4 + encoder remat is
+    # the production training config (docs/PERF.md round 4: per-step quality
+    # is flat across 1/2/4 sources on 3 seeds and bf16 == f32 at every count;
+    # 1k-step runs confirm no late-horizon drift; the B7 encoder/decoder
+    # amortizes over sources so 4-src renders +21% more rays/s than 2-src.
+    # remat_encoder is required: no-remat 4-src exceeds HBM by 191 MB, and
+    # remat_field measured slower, 870 vs 858 ms -- both in docs/PERF.md).
+    flagship = C.kitti(n_sources=4, ray_chunk=1200, n_gt_depth=256,
+                       compute_dtype="bfloat16", remat_encoder=True)
+    flagship2 = flagship.replace(n_sources=2, remat_encoder=False)
+    single = flagship2.replace(n_sources=1)
     half = single.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
                           remat_encoder=True)
     half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
 
     ladder = [
-        ("kitti-b7-full-bf16-2src", flagship),
-        ("kitti-b7-full-bf16-2src-remat", flagship.replace(remat_encoder=True)),
+        ("kitti-b7-full-bf16-4src-remat", flagship),
+        ("kitti-b7-full-bf16-2src", flagship2),
+        ("kitti-b7-full-bf16-2src-remat", flagship2.replace(remat_encoder=True)),
         ("kitti-b7-full-bf16-noremat", single),
         ("kitti-b7-full-bf16", single.replace(remat_encoder=True)),
         ("kitti-b7-full-f32", single.replace(compute_dtype="float32",
