@@ -134,6 +134,13 @@ class SceneRFConfig:
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
     remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
+    remat_decoder: bool | None = None  # nn.remat the decoder UpSampleBN chain
+                                       # separately; None follows
+                                       # remat_encoder (the historical
+                                       # coupled toggle). Remat placement is
+                                       # a memory/replay trade with identical
+                                       # math, so the splits are
+                                       # interchangeable wherever they fit
     remat_field: bool = False          # jax.checkpoint featurize+field MLP of
                                        # each render block: drops the [N,
                                        # d_latent] gather concat and the MLP

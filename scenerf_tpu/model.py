@@ -62,6 +62,7 @@ class SceneRF:
             dtype=cfg.dtype,
             axis_name=axis_name,
             remat=cfg.remat_encoder,
+            remat_decoder=cfg.remat_decoder,
             conv_impl=cfg.decoder_conv,
             gather_impl=cfg.featurize_gather,
         )

@@ -15,8 +15,11 @@ def main():
     ap.add_argument("--featurize_gather", default="taps")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat_encoder", action="store_true")
+    ap.add_argument("--remat_decoder", default=None, choices=["0", "1"],
+                    help="decouple decoder remat from --remat_encoder")
     ap.add_argument("--remat_field", action="store_true")
     args = ap.parse_args()
+    remat_decoder = None if args.remat_decoder is None else args.remat_decoder == "1"
 
     from scenerf_tpu.utils.jax_setup import setup_compilation_cache
     setup_compilation_cache()
@@ -31,12 +34,14 @@ def main():
 
     cfg = C.kitti(n_sources=args.sources, ray_chunk=1200, n_gt_depth=256,
                   compute_dtype="bfloat16", remat_encoder=args.remat_encoder,
+                  remat_decoder=remat_decoder,
                   remat_field=args.remat_field,
                   decoder_conv=args.decoder_conv,
                   featurize_gather=args.featurize_gather)
     print(f"[probe] decoder_conv={args.decoder_conv} "
           f"featurize_gather={args.featurize_gather} sources={args.sources} "
-          f"remat_encoder={args.remat_encoder} remat_field={args.remat_field} "
+          f"remat_encoder={args.remat_encoder} "
+          f"remat_decoder={remat_decoder} remat_field={args.remat_field} "
           f"backend={jax.default_backend()}", flush=True)
 
     mesh = make_mesh(jax.devices()[:1])

@@ -135,3 +135,32 @@ def test_render_image(setup):
     assert out["depth"].shape == (H // 4, W // 4)
     assert out["color"].shape == (H // 4, W // 4, 3)
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_remat_decoder_split_is_identical(setup):
+    """remat placement (coupled vs decoder-only vs encoder-only) is a pure
+    memory/replay trade: loss and grads must match across the splits."""
+    cfg, model, variables, batch = setup
+    key = jax.random.PRNGKey(3)
+
+    def loss_and_grads(c):
+        m = SceneRF(c)
+
+        def loss_fn(v):
+            loss, _, _ = m.forward(v, batch, key, train=False)
+            return loss
+
+        return jax.value_and_grad(loss_fn)(variables)
+
+    base_l, base_g = loss_and_grads(cfg)  # remat_decoder=None follows encoder
+    for c in (cfg.replace(remat_encoder=True, remat_decoder=False),
+              cfg.replace(remat_encoder=False, remat_decoder=True)):
+        l, g = loss_and_grads(c)
+        np.testing.assert_allclose(float(l), float(base_l),
+                                   rtol=1e-6, atol=1e-7)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(base_g),
+                jax.tree_util.tree_leaves_with_path(g)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=str(pa))
