@@ -9,10 +9,11 @@ the extra keys make the number auditable (VERDICT r2 item 3):
   mfu                  -- hardware FLOP utilization of the flagship step:
                           compiled-program FLOPs (XLA cost analysis) / step
                           time / chip peak bf16 FLOP/s. The 4-source flagship
-                          runs with encoder remat (no-remat 4-src exceeds the
-                          16G HBM by 191 MB -- docs/PERF.md), so program FLOPs
-                          include the encoder replay; the model-FLOP MFU is
-                          ~0.84x this number (13.84/16.54 TF)
+                          runs with encoder-only remat (no-remat 4-src exceeds
+                          the 16G HBM by 191 MB -- docs/PERF.md), and the B7
+                          encoder replay is only ~0.10 TF of the 13.20 TF
+                          program (the decoder at sphere resolution owns the
+                          FLOPs), so program MFU ~= model MFU (~0.99x)
   step_ms              -- pipelined step wall time (10 enqueue-chained
                           donated-state steps, one block -- matches the
                           production loop, which syncs metrics every N steps)
@@ -181,15 +182,20 @@ def main():
     _progress["claimed"] = True
     print(f"[bench] device attached: {dev.device_kind}", file=sys.stderr)
 
-    # bf16 compute (f32 params/optimizer) with n_sources=4 + encoder remat is
-    # the production training config (docs/PERF.md round 4: per-step quality
-    # is flat across 1/2/4 sources on 3 seeds and bf16 == f32 at every count;
-    # 1k-step runs confirm no late-horizon drift; the B7 encoder/decoder
-    # amortizes over sources so 4-src renders +21% more rays/s than 2-src.
-    # remat_encoder is required: no-remat 4-src exceeds HBM by 191 MB, and
-    # remat_field measured slower, 870 vs 858 ms -- both in docs/PERF.md).
+    # bf16 compute (f32 params/optimizer) with n_sources=4 + ENCODER-ONLY
+    # remat is the production training config (docs/PERF.md round 4: per-step
+    # quality is flat across 1/2/4 sources on 3 seeds and bf16 == f32 at
+    # every count; 1k-step runs confirm no late-horizon drift; the B7
+    # encoder/decoder amortizes over sources so 4-src renders +21% more
+    # rays/s than 2-src. Some remat is required -- no-remat 4-src exceeds
+    # HBM by 191 MB -- and the round-4 remat-split probe picked WHERE:
+    # encoder-only (remat_decoder=False) is 782 ms vs 858 both-remat vs
+    # 822 decoder-only vs 870 remat_field: the decoder replay re-pays the
+    # bandwidth-bound spherical convs while the encoder replay is the cheap
+    # per-byte lever -- all arms bit-identical math, docs/PERF.md).
     flagship = C.kitti(n_sources=4, ray_chunk=1200, n_gt_depth=256,
-                       compute_dtype="bfloat16", remat_encoder=True)
+                       compute_dtype="bfloat16", remat_encoder=True,
+                       remat_decoder=False)
     flagship2 = flagship.replace(n_sources=2, remat_encoder=False)
     single = flagship2.replace(n_sources=1)
     half = single.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
@@ -197,7 +203,9 @@ def main():
     half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
 
     ladder = [
-        ("kitti-b7-full-bf16-4src-remat", flagship),
+        ("kitti-b7-full-bf16-4src-encremat", flagship),
+        # previous flagship (encoder+decoder remat), first step-down rung
+        ("kitti-b7-full-bf16-4src-remat", flagship.replace(remat_decoder=None)),
         ("kitti-b7-full-bf16-2src", flagship2),
         ("kitti-b7-full-bf16-2src-remat", flagship2.replace(remat_encoder=True)),
         ("kitti-b7-full-bf16-noremat", single),
