@@ -145,9 +145,14 @@ def main():
         "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
         # 8-source arms: the render is a lax.scan over sources (constant
         # memory), so the only cost of more sources is step time -- probe
-        # the far end of the encoder-amortization curve
-        "bf16x8": make_cfg("bfloat16", 8),
-        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True),
+        # the far end of the encoder-amortization curve. remat_field=True:
+        # quality runs keep TWO programs resident (train + val-eval) and the
+        # 8-src train program alone nearly fills HBM (docs/PERF.md round 4);
+        # checkpointing featurize+field shrinks its live set (bit-identical
+        # math, tests/test_rendering.py) so the pair co-fits
+        "bf16x8": make_cfg("bfloat16", 8).replace(remat_field=True),
+        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True,
+                                                remat_field=True),
     }
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
