@@ -136,7 +136,11 @@ class EfficientNet(nn.Module):
     bn_eps: float = 1e-3
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    remat: bool = True  # checkpoint each MBConv: trades recompute for HBM
+    remat: bool | int = True  # checkpoint MBConvs: trades recompute for HBM.
+    # True = every stage; False = none; int k = only stages 0..k-1. The early
+    # stages run at s2/s4/s8 resolution where the expand-ratio-6 activations
+    # dominate HBM, while the late stages hold most of the FLOPs — partial
+    # remat keeps the memory win and skips most of the backward replay cost.
 
     # stage index -> tap name (stage outputs the decoder consumes)
     TAP_STAGES = {0: "s2", 1: "s4", 2: "s8", 4: "s16"}
@@ -156,8 +160,11 @@ class EfficientNet(nn.Module):
                     name="conv_stem")(x)
         h = nn.swish(bn(h, "bn1"))
 
-        block_cls = nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
+        n_remat = (len(_STAGES) if self.remat is True
+                   else 0 if self.remat is False else int(self.remat))
+        remat_cls = nn.remat(MBConv, static_argnums=(2,))
         for si, (expand, kernel, stride, base_f, base_r) in enumerate(_STAGES):
+            block_cls = remat_cls if si < n_remat else MBConv
             f_out = round_filters(base_f, self.width)
             for bi in range(round_repeats(base_r, self.depth)):
                 h = block_cls(
@@ -223,7 +230,7 @@ class TinyBackbone(nn.Module):
 
 def make_backbone(name: str, num_features: int | None = None,
                   dtype=jnp.float32, axis_name: str | None = None,
-                  remat: bool = True):
+                  remat: bool | int = True):
     """Build a backbone by config name: 'effnet-b{0..7}' or 'tiny'."""
     if name == "tiny":
         return TinyBackbone(num_features=num_features or 64, dtype=dtype,

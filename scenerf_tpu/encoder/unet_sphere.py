@@ -20,7 +20,7 @@ class UNet2DSphere(nn.Module):
     sphere: SphereConfig = SphereConfig()
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    remat: bool = True
+    remat: bool | int = True  # int k: remat only the first k backbone stages
     remat_decoder: bool | None = None  # None: follow `remat` (coupled toggle)
     conv_impl: str = "conv"  # decoder convs: "conv" | "taps" (see DecoderSphere)
     gather_impl: str = "taps"  # sphere-resample bilinear impl: "taps" | "win2"
@@ -30,7 +30,8 @@ class UNet2DSphere(nn.Module):
             self.backbone_name, num_features=self.num_features,
             dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
         )
-        dec_remat = self.remat if self.remat_decoder is None else self.remat_decoder
+        dec_remat = (bool(self.remat) if self.remat_decoder is None
+                     else self.remat_decoder)
         self.decoder = DecoderSphere(
             num_features=self.num_features, sphere=self.sphere,
             dtype=self.dtype, axis_name=self.axis_name, remat=dec_remat,
