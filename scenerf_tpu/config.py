@@ -133,7 +133,10 @@ class SceneRFConfig:
     eval_ray_chunk: int = 4096         # rays per block at eval (no grad)
     compute_dtype: str = "float32"     # "float32" | "bfloat16" for encoder/MLP matmuls
     remat_chunks: bool = True          # jax.checkpoint each ray chunk
-    remat_encoder: bool = True         # nn.remat each MBConv/UpSampleBN
+    remat_encoder: bool | int = True   # nn.remat each MBConv/UpSampleBN;
+                                       # int k remats only backbone stages
+                                       # 0..k-1 (partial replay — pair with an
+                                       # explicit remat_decoder, see below)
     remat_decoder: bool | None = None  # nn.remat the decoder UpSampleBN chain
                                        # separately; None follows
                                        # remat_encoder (the historical

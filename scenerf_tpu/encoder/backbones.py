@@ -160,8 +160,16 @@ class EfficientNet(nn.Module):
                     name="conv_stem")(x)
         h = nn.swish(bn(h, "bn1"))
 
-        n_remat = (len(_STAGES) if self.remat is True
-                   else 0 if self.remat is False else int(self.remat))
+        # bool first: remat=1 == True in Python, but the two must not be
+        # conflated (True = all stages, int k = stages 0..k-1)
+        if isinstance(self.remat, bool):
+            n_remat = len(_STAGES) if self.remat else 0
+        else:
+            n_remat = int(self.remat)
+            if not 0 <= n_remat <= len(_STAGES):
+                raise ValueError(
+                    f"remat={self.remat!r}: int stage count must be in "
+                    f"[0, {len(_STAGES)}]")
         remat_cls = nn.remat(MBConv, static_argnums=(2,))
         for si, (expand, kernel, stride, base_f, base_r) in enumerate(_STAGES):
             block_cls = remat_cls if si < n_remat else MBConv

@@ -21,7 +21,10 @@ class UNet2DSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool | int = True  # int k: remat only the first k backbone stages
-    remat_decoder: bool | None = None  # None: follow `remat` (coupled toggle)
+    remat_decoder: bool | None = None  # None follows bool(remat) — NOTE: an
+    # int k>0 then still implies FULL decoder remat; set remat_decoder
+    # explicitly when tuning k (partial encoder remat exists to cut backward
+    # replay, which a coupled decoder remat would re-add)
     conv_impl: str = "conv"  # decoder convs: "conv" | "taps" (see DecoderSphere)
     gather_impl: str = "taps"  # sphere-resample bilinear impl: "taps" | "win2"
 

@@ -3,6 +3,7 @@
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Optional
 
@@ -44,23 +45,40 @@ def scalar_name(key: str, step_type: str) -> str:
 
 
 class MetricLogger:
+    """Writes the reference's TB scalar namespace (ref train_kitti.py:108-109)
+    AND an always-on JSONL record `{logdir}/metrics.jsonl` (one object per
+    log() call: {"step", "step_type", scalars...}) so every run is auditable
+    even when tensorboardX is not installed (it is absent in this image)."""
+
     def __init__(self, logdir: Optional[str] = None):
         self.writer = None
-        if logdir and SummaryWriter is not None:
+        self._jsonl = None
+        if logdir:
             os.makedirs(logdir, exist_ok=True)
-            self.writer = SummaryWriter(logdir)
+            self._jsonl = os.path.join(logdir, "metrics.jsonl")
+            if SummaryWriter is not None:
+                self.writer = SummaryWriter(logdir)
+
+    def _append_jsonl(self, record: Dict):
+        if self._jsonl is not None:
+            with open(self._jsonl, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     def log(self, metrics: Dict[str, float], step: int, step_type: str = "train"):
+        record = {"step": int(step), "step_type": step_type}
         for k, v in metrics.items():
             v = float(np.asarray(v))
+            record[scalar_name(k, step_type)] = v
             if self.writer is not None:
                 self.writer.add_scalar(scalar_name(k, step_type), v, step)
                 if k in _ALIASES:
                     self.writer.add_scalar(_ALIASES[k].format(step_type), v, step)
+        self._append_jsonl(record)
 
     def log_lr(self, lr: float, step: int):
         if self.writer is not None:
             self.writer.add_scalar("lr", float(lr), step)
+        self._append_jsonl({"step": int(step), "lr": float(lr)})
 
     def flush(self):
         if self.writer is not None:

@@ -14,12 +14,16 @@ def main():
     ap.add_argument("--decoder_conv", default="conv")
     ap.add_argument("--featurize_gather", default="taps")
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--remat_encoder", action="store_true")
+    ap.add_argument("--remat_encoder", nargs="?", const=True, default=False,
+                    help="flag => full encoder remat; an int k => partial "
+                         "remat of backbone stages 0..k-1 only")
     ap.add_argument("--remat_decoder", default=None, choices=["0", "1"],
                     help="decouple decoder remat from --remat_encoder")
     ap.add_argument("--remat_field", action="store_true")
     args = ap.parse_args()
     remat_decoder = None if args.remat_decoder is None else args.remat_decoder == "1"
+    if isinstance(args.remat_encoder, str):
+        args.remat_encoder = int(args.remat_encoder)
 
     from scenerf_tpu.utils.jax_setup import setup_compilation_cache
     setup_compilation_cache()

@@ -125,3 +125,94 @@ def test_scalar_namespace():
         "train/loss_dist2closest_gauss"
     assert _ALIASES["loss_dist2closest_gauss"].format("val") == \
         "val_som/dist_2_closest_gaussian"
+
+
+def _ssim_loop_oracle(im1, im2, data_range=1.0, win=7, K1=0.01, K2=0.03):
+    """Explicit per-window oracle of skimage.metrics.structural_similarity
+    (ref eval protocol: scenerf/scripts/evaluation/eval_color.py:29-31):
+    uniform win x win window, sample (N-1) covariance, averaged over windows
+    FULLY inside the image -- skimage crops pad=(win-1)//2 from the filtered
+    map, which removes exactly the boundary-touching windows, so this loop is
+    boundary-mode-independent and reproduces skimage numerics exactly."""
+    im1 = im1.astype(np.float64)
+    im2 = im2.astype(np.float64)
+    H, W = im1.shape
+    pad = (win - 1) // 2
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    vals = []
+    for i in range(pad, H - pad):
+        for j in range(pad, W - pad):
+            a = im1[i - pad:i + pad + 1, j - pad:j + pad + 1].ravel()
+            b = im2[i - pad:i + pad + 1, j - pad:j + pad + 1].ravel()
+            ux, uy = a.mean(), b.mean()
+            vx, vy = a.var(ddof=1), b.var(ddof=1)
+            vxy = np.cov(a, b, ddof=1)[0, 1]
+            vals.append(((2 * ux * uy + C1) * (2 * vxy + C2))
+                        / ((ux * ux + uy * uy + C1) * (vx + vy + C2)))
+    return float(np.mean(vals))
+
+
+def _golden_images():
+    """Deterministic structured pair (gradient + sinusoid, not pure noise)."""
+    y, x = np.mgrid[0:12, 0:15]
+    a = np.sin(x * 0.7) * 0.3 + y / 12.0 * 0.4 + 0.3
+    b = np.clip(a + 0.1 * np.sin(x * 1.3 + y * 0.9), 0, 1)
+    a3 = np.stack([a, np.roll(a, 1, 0), a * 0.8 + 0.1], -1)
+    b3 = np.stack([b, np.roll(b, 2, 1), np.clip(b * 0.9 + 0.05, 0, 1)], -1)
+    return a, b, a3, b3
+
+
+def test_ssim_matches_loop_oracle_and_goldens():
+    """VERDICT r4 item 3: 'skimage-identical numerics' as a tested claim.
+    Golden constants generated by the loop oracle above (== skimage semantics
+    for interior windows; skimage itself is not installed in this image)."""
+    a, b, a3, b3 = _golden_images()
+    # single channel vs oracle + pinned golden
+    got = ssim(a, b)
+    np.testing.assert_allclose(got, _ssim_loop_oracle(a, b), rtol=1e-12)
+    np.testing.assert_allclose(got, 0.9476227252309924, rtol=1e-10)
+    # multichannel = per-channel mean (skimage multichannel=True)
+    got3 = ssim(a3, b3)
+    np.testing.assert_allclose(
+        got3, np.mean([_ssim_loop_oracle(a3[..., c], b3[..., c])
+                       for c in range(3)]), rtol=1e-12)
+    np.testing.assert_allclose(got3, 0.6973208973867191, rtol=1e-10)
+    # 7x7 image with win=7: exactly one window => closed-form single-window
+    np.testing.assert_allclose(ssim(a[:7, :7], b[:7, :7]),
+                               _ssim_loop_oracle(a[:7, :7], b[:7, :7]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(ssim(a[:7, :7], b[:7, :7]),
+                               0.940478721657353, rtol=1e-10)
+    # PSNR pinned golden (formula already tested; this guards regressions)
+    np.testing.assert_allclose(psnr(a3, b3), 15.042686249155778, rtol=1e-10)
+    # data_range scaling: scaling both images and the range is invariant
+    np.testing.assert_allclose(ssim(a * 255, b * 255, data_range=255.0),
+                               got, rtol=1e-9)
+
+
+def test_metric_logger_jsonl_fallback(tmp_path):
+    """VERDICT r4 item 4: MetricLogger must leave an on-disk record even
+    without tensorboardX (absent in this image): {logdir}/metrics.jsonl."""
+    import json
+
+    from scenerf_tpu.utils.logging_utils import MetricLogger
+
+    logdir = str(tmp_path / "tb")
+    logger = MetricLogger(logdir)
+    logger.log({"total_loss": np.float32(1.5), "depth/abs_rel": 0.25},
+               step=3, step_type="val")
+    logger.log({"total_loss": 1.2}, step=4, step_type="train")
+    logger.log_lr(1e-5, step=4)
+    logger.flush()
+
+    path = tmp_path / "tb" / "metrics.jsonl"
+    assert path.exists()
+    records = [json.loads(line) for line in path.read_text().splitlines()]
+    assert records[0] == {"step": 3, "step_type": "val",
+                          "val/total_loss": 1.5, "valdepth/abs_rel": 0.25}
+    assert records[1]["train/total_loss"] == 1.2
+    assert records[2] == {"step": 4, "lr": 1e-5}
+
+    # no logdir => no writer, no crash
+    MetricLogger(None).log({"x": 1.0}, step=0)

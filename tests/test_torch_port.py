@@ -188,3 +188,38 @@ def test_port_b0_state_dict_shapes_and_values():
     np.testing.assert_allclose(
         np.asarray(ported["params"]["conv_stem"]["kernel"]),
         sd["conv_stem.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_partial_remat_int_matches_full_remat_grads():
+    """ADVICE r4: int remat (partial: stages 0..k-1) is identical math to
+    full/no remat -- outputs and grads must agree; bool/int must not be
+    conflated (remat=1 == True in Python) and out-of-range ints fail loudly."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+
+    def loss_and_grads(remat):
+        net = EfficientNet(width=1.0, depth=1.0, num_features=64, remat=remat)
+        variables = net.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(p):
+            taps = net.apply({**variables, "params": p}, x)
+            return sum(jnp.sum(t ** 2) for t in taps.values())
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    base_l, base_g = loss_and_grads(True)
+    for remat in (1, 3, False):
+        l, g = loss_and_grads(remat)
+        np.testing.assert_allclose(float(l), float(base_l), rtol=1e-6)
+        for (pa, a), (pb, b) in zip(jax.tree_util.tree_leaves_with_path(base_g),
+                                    jax.tree_util.tree_leaves_with_path(g)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+    with pytest.raises(ValueError, match="remat"):
+        loss_and_grads(len(_STAGES) + 1)
+    with pytest.raises(ValueError, match="remat"):
+        loss_and_grads(-1)
