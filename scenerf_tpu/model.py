@@ -183,8 +183,16 @@ class SceneRF:
         sphere_maps: Optional[Dict[int, jnp.ndarray]] = None,
         item_loop: bool = False,
         ray_shard_n: int = 1,
+        with_losses: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         """Full training/validation forward pass (ref scenerf.py:119-241).
+
+        `with_losses=False` skips the per-source loss renders entirely and
+        returns only the GT-depth metrics (total_loss = 0): a depth-eval-only
+        program is ~100x smaller than the full forward (no n_rays x 64-sample
+        training render per source), so it co-fits in HBM next to even the
+        8-source train program (VERDICT r4 item: quality validation at the
+        amortization endpoint). Requires with_depth_eval=True.
 
         Returns (total_loss, metrics dict, updated variables). Losses are
         summed over valid sources and divided by the local batch size, matching
@@ -203,6 +211,9 @@ class SceneRF:
         reduction order) to the unsharded ray batch.
         """
         cfg = self.cfg
+        if not (with_losses or with_depth_eval):
+            raise ValueError("forward with with_losses=False requires "
+                             "with_depth_eval=True (nothing to compute)")
         B = batch["img_input"].shape[0]
         S_n = batch["T_source2infer"].shape[1]
         cam_K = batch["cam_K"][0]
@@ -222,52 +233,54 @@ class SceneRF:
             """Losses for one (item, source) pair
             (ref process_single_source, scenerf.py:243-320)."""
             k_pix, k_render, k_noise, k_gt = jax.random.split(k, 4)
-            pix_source = S.random_grid_pixels(
-                k_pix, cfg.n_rays, cfg.img_size[0], cfg.img_size[1],
-                stride=cfg.pixel_stride, grid_size=cfg.sample_grid_size,
-            )
-            row_offset: Any = 0
-            total_rows = None
-            if ray_shard_n > 1:
-                # same pixel set on every device (shared keys), each device
-                # renders its contiguous 1/n row slice; row_offset/total_rows
-                # make every noise draw identical to the unsharded step's
-                nr = cfg.n_rays // ray_shard_n
-                idx = jax.lax.axis_index(self.axis_name)
-                row_offset = idx * nr
-                total_rows = cfg.n_rays
-                pix_source = jax.lax.dynamic_slice(
-                    pix_source, (row_offset, 0), (nr, 2))
-            out = R.render_rays(
-                k_render, pix_source, pyramid, item_K, src["T_source2infer"],
-                field_fn, gauss_fn, cfg,
-                row_offset=row_offset, total_rows=total_rows,
-            )
-            color_src = geo.sample_pix_features(pix_source, src["img_source"])
+            res = {}
+            if with_losses:
+                pix_source = S.random_grid_pixels(
+                    k_pix, cfg.n_rays, cfg.img_size[0], cfg.img_size[1],
+                    stride=cfg.pixel_stride, grid_size=cfg.sample_grid_size,
+                )
+                row_offset: Any = 0
+                total_rows = None
+                if ray_shard_n > 1:
+                    # same pixel set on every device (shared keys), each device
+                    # renders its contiguous 1/n row slice; row_offset/total_rows
+                    # make every noise draw identical to the unsharded step's
+                    nr = cfg.n_rays // ray_shard_n
+                    idx = jax.lax.axis_index(self.axis_name)
+                    row_offset = idx * nr
+                    total_rows = cfg.n_rays
+                    pix_source = jax.lax.dynamic_slice(
+                        pix_source, (row_offset, 0), (nr, 2))
+                out = R.render_rays(
+                    k_render, pix_source, pyramid, item_K, src["T_source2infer"],
+                    field_fn, gauss_fn, cfg,
+                    row_offset=row_offset, total_rows=total_rows,
+                )
+                color_src = geo.sample_pix_features(pix_source, src["img_source"])
 
-            d2g = L.dist2closest_gaussian(
-                out["gaussian_means"], out["gaussian_stds"], out["som_vars"],
-                out["depth"],
-            )
-            loss_color = jnp.abs(out["color"] - color_src).mean()
-            loss_reproj, valid = L.reprojection_loss(
-                k_noise, pix_source, color_src, out["depth"],
-                src["img_target"], item_inv_K, item_K, src["T_source2target"],
-                full_rows=total_rows, row_offset=row_offset,
-            )
+                d2g = L.dist2closest_gaussian(
+                    out["gaussian_means"], out["gaussian_stds"], out["som_vars"],
+                    out["depth"],
+                )
+                loss_color = jnp.abs(out["color"] - color_src).mean()
+                loss_reproj, valid = L.reprojection_loss(
+                    k_noise, pix_source, color_src, out["depth"],
+                    src["img_target"], item_inv_K, item_K, src["T_source2target"],
+                    full_rows=total_rows, row_offset=row_offset,
+                )
 
-            res = {
-                "loss_reprojection": L.masked_mean(
-                    loss_reproj, valid,
-                    axis_name=self.axis_name if ray_shard_n > 1 else None),
-                "loss_color": loss_color,
-                "loss_kl": out["loss_kl"].mean(),
-                "loss_dist2closest_gauss": d2g["loss_dist2closest_gauss"].mean(),
-                "min_som_vars": d2g["min_som_vars"].mean(),
-                "min_stds": d2g["min_stds"].mean(),
-                "closest_pts_to_depth": out["closest_pts_to_depth"].mean(),
-                "weights_at_depth": out["weights_at_depth"].mean(),
-            }
+                res = {
+                    "loss_reprojection": L.masked_mean(
+                        loss_reproj, valid,
+                        axis_name=self.axis_name if ray_shard_n > 1 else None),
+                    "loss_color": loss_color,
+                    "loss_kl": out["loss_kl"].mean(),
+                    "loss_dist2closest_gauss": d2g["loss_dist2closest_gauss"].mean(),
+                    "min_som_vars": d2g["min_som_vars"].mean(),
+                    "min_stds": d2g["min_stds"].mean(),
+                    "closest_pts_to_depth": out["closest_pts_to_depth"].mean(),
+                    "weights_at_depth": out["weights_at_depth"].mean(),
+                }
 
             if with_depth_eval:
                 # depth metrics at GT pixels -- pure logging, no gradient
@@ -335,7 +348,7 @@ class SceneRF:
                 "gt_depth": item["gt_depth"],
                 "gt_mask": item["gt_mask"],
             }
-            res_keys = list(loss_keys) + list(log_keys)
+            res_keys = (list(loss_keys) + list(log_keys)) if with_losses else []
             if with_depth_eval:
                 res_keys += [f"depth/{k}" for k in L.DEPTH_METRIC_NAMES]
             init = {k: jnp.zeros(()) for k in res_keys}
@@ -369,17 +382,22 @@ class SceneRF:
             sums = jax.tree_util.tree_map(lambda x: x.sum(0), per_b)
 
         # losses: summed over sources, / bs (ref scenerf.py:203-241)
-        totals = {k: sums[k] / B for k in loss_keys}
-        total_loss = totals["loss_kl"] + totals["loss_dist2closest_gauss"] * cfg.dist2closest_weight
-        if cfg.use_reprojection:
-            total_loss = total_loss + totals["loss_reprojection"] * cfg.reprojection_weight
-        if cfg.use_color:
-            total_loss = total_loss + totals["loss_color"]
+        denom = jnp.maximum(n_valid_sources, 1.0)
+        if with_losses:
+            totals = {k: sums[k] / B for k in loss_keys}
+            total_loss = totals["loss_kl"] + totals["loss_dist2closest_gauss"] * cfg.dist2closest_weight
+            if cfg.use_reprojection:
+                total_loss = total_loss + totals["loss_reprojection"] * cfg.reprojection_weight
+            if cfg.use_color:
+                total_loss = total_loss + totals["loss_color"]
+            metrics = {f"loss_{k.removeprefix('loss_')}": v
+                       for k, v in totals.items()}
+            metrics["loss_som_kl"] = metrics.pop("loss_kl")
+        else:
+            total_loss = jnp.zeros(())
+            metrics = {}
 
         # logs: masked means over sources
-        denom = jnp.maximum(n_valid_sources, 1.0)
-        metrics = {f"loss_{k.removeprefix('loss_')}": v for k, v in totals.items()}
-        metrics["loss_som_kl"] = metrics.pop("loss_kl")
         for k in sums:
             if k not in loss_keys:
                 metrics[k] = sums[k] / denom

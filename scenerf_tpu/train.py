@@ -104,6 +104,7 @@ class Trainer:
         self._maps_cache: Dict[bytes, Any] = {}
         self._train_step = self._build_step(train=True)
         self._val_step = self._build_step(train=False)
+        self._depth_eval_step = None  # built lazily on first depth_eval_step()
 
     # ------------------------------------------------------------------ state
     def create_state(self, key: jax.Array) -> TrainState:
@@ -124,9 +125,11 @@ class Trainer:
         return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------ steps
-    def _build_step(self, train: bool):
+    def _build_step(self, train: bool, with_losses: bool = True,
+                    with_depth_eval: Optional[bool] = None):
         model, tx, cfg = self.model, self.tx, self.cfg
-        with_depth_eval = self.with_depth_eval
+        if with_depth_eval is None:
+            with_depth_eval = self.with_depth_eval
 
         n_dev = self.mesh.shape[DATA_AXIS]
         ray_shard_n = n_dev if (self.ray_shard and n_dev > 1) else 1
@@ -158,7 +161,7 @@ class Trainer:
                 loss, metrics, new_vars = model.forward(
                     variables, batch, key, train=train,
                     with_depth_eval=with_depth_eval, sphere_maps=sphere_maps,
-                    ray_shard_n=ray_shard_n,
+                    ray_shard_n=ray_shard_n, with_losses=with_losses,
                 )
                 return loss, (metrics, new_vars["net_rgb"].get("batch_stats"))
 
@@ -212,4 +215,20 @@ class Trainer:
         if sphere_maps is None:
             sphere_maps = self._sphere_maps_for(batch)
         _, metrics = self._val_step(state, batch, key, sphere_maps)
+        return metrics
+
+    def depth_eval_step(self, state: TrainState, batch, key,
+                        sphere_maps=None) -> Dict:
+        """GT-depth metrics only (no loss renders, no grads): a program ~100x
+        smaller than val_step, so it co-fits in HBM beside even the 8-source
+        train program (the round-4 quality runs OOMed keeping the full val
+        program resident). Depth metrics are bit-identical to val_step's
+        (same key derivation; tested in tests/test_train.py). Built lazily so
+        Trainers that never eval (bench, dryrun) pay no extra compile."""
+        if self._depth_eval_step is None:
+            self._depth_eval_step = self._build_step(
+                train=False, with_losses=False, with_depth_eval=True)
+        if sphere_maps is None:
+            sphere_maps = self._sphere_maps_for(batch)
+        _, metrics = self._depth_eval_step(state, batch, key, sphere_maps)
         return metrics

@@ -51,9 +51,9 @@ def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
     trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
                       with_depth_eval=False)
     state = trainer.create_state(jax.random.PRNGKey(seed))
-    # separate val program with the GT-depth render
-    val_trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
-                          with_depth_eval=True)
+    # val metrics come from the depth-eval-only program (no loss renders):
+    # it co-fits in HBM beside even the 8-source train program, unlike the
+    # full val forward that OOMed the round-4 8-src quality arms
 
     train_ds = KittiDataset("train", root, prep, sequence_distance=10.0,
                             frames_interval=0.4, n_sources=cfg.n_sources,
@@ -72,7 +72,7 @@ def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
     def run_val(state):
         accum = None
         for bi, vb in enumerate(val_batches):
-            m = jax.device_get(val_trainer.val_step(
+            m = jax.device_get(trainer.depth_eval_step(
                 state, vb, jax.random.PRNGKey(1000 + bi)))
             accum = m if accum is None else {k: accum[k] + m[k] for k in m}
         return {k: float(v) / len(val_batches) for k, v in accum.items()}
@@ -145,14 +145,11 @@ def main():
         "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
         # 8-source arms: the render is a lax.scan over sources (constant
         # memory), so the only cost of more sources is step time -- probe
-        # the far end of the encoder-amortization curve. remat_field=True:
-        # quality runs keep TWO programs resident (train + val-eval) and the
-        # 8-src train program alone nearly fills HBM (docs/PERF.md round 4);
-        # checkpointing featurize+field shrinks its live set (bit-identical
-        # math, tests/test_rendering.py) so the pair co-fits
-        "bf16x8": make_cfg("bfloat16", 8).replace(remat_field=True),
-        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True,
-                                                remat_field=True),
+        # the far end of the encoder-amortization curve. Same config as the
+        # throughput probe (encoder remat); val metrics come from the small
+        # depth-eval-only program, so no remat_field workaround is needed
+        "bf16x8": make_cfg("bfloat16", 8),
+        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True),
     }
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}

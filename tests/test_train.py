@@ -46,6 +46,27 @@ def test_val_step(cfg):
     assert np.isfinite(float(metrics["depth/abs_rel"]))
 
 
+def test_depth_eval_step_matches_val_step(cfg):
+    """The depth-eval-only program (no loss renders; built for the 8-source
+    quality arms that OOMed with the full val program resident) must produce
+    BIT-identical depth metrics to val_step: same key derivation reaches the
+    same k_gt per source, and the GT render is stop_gradient'ed in both."""
+    mesh = make_mesh(jax.devices()[:2])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10, with_depth_eval=True)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch = shard_batch(make_batch(cfg, batch_size=2), mesh)
+    key = jax.random.PRNGKey(1)
+    full = trainer.val_step(state, batch, key)
+    depth_only = trainer.depth_eval_step(state, batch, key)
+    depth_keys = [k for k in full if k.startswith("depth/")]
+    assert depth_keys, full.keys()
+    assert set(depth_only) == set(depth_keys) | {"total_loss"}
+    assert float(depth_only["total_loss"]) == 0.0
+    for k in depth_keys:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(depth_only[k]), err_msg=k)
+
+
 def test_sharded_matches_single_device(cfg):
     """Gradient/loss parity: 4-device sharded step == 1-device step on the same
     global batch. Per-device RNG folding is part of both runs (the 1-device
