@@ -119,6 +119,65 @@ def load_reference_checkpoint(path: str, n_blocks: int = 3) -> Dict[str, Any]:
     return port_reference_state_dict(sd, n_blocks=n_blocks)
 
 
+# Lightning `save_hyperparameters` keys (ref scenerf.py:24-43 __init__ kwargs)
+# that map 1:1 onto SceneRFConfig fields of the same name.
+_HPARAM_KEYS = (
+    "n_rays", "n_gaussians", "n_pts_per_gaussian", "n_pts_uni", "std",
+    "som_sigma", "lr", "weight_decay", "max_sample_depth", "max_infer_depth",
+    "eval_depth", "sampling_method", "use_color", "use_reprojection",
+    "batch_size",
+)
+
+
+def config_from_hparams(preset: str, hp: Dict[str, Any], **base):
+    """Build a SceneRFConfig from a Lightning checkpoint's `hyper_parameters`.
+
+    `hp` uses the reference's exact flag names (ref scenerf.py:24-43,
+    persisted by save_hyperparameters at scenerf.py:94 and restored by
+    load_from_checkpoint in every eval script, e.g.
+    save_depth_metrics.py:57). `base` holds non-hparam config overrides
+    (encoder size etc. — the reference hardcodes B7, so they are never in a
+    real checkpoint; tests use them to shrink the model)."""
+    from scenerf_tpu import config as C
+
+    overrides = dict(base)
+    overrides.update({k: hp[k] for k in _HPARAM_KEYS if k in hp})
+    if "img_size" in hp:
+        overrides["img_size"] = tuple(hp["img_size"])
+    cfg = C.PRESETS[preset](**overrides)
+    if "sphere_W" in hp and "sphere_H" in hp:
+        cfg = cfg.replace(sphere=cfg.sphere.__class__(
+            width=int(hp["sphere_W"]), height=int(hp["sphere_H"]),
+            add_fov_hor=float(hp.get("add_fov_hor", cfg.sphere.add_fov_hor)),
+            add_fov_ver=float(hp.get("add_fov_ver", cfg.sphere.add_fov_ver))))
+    return cfg
+
+
+def import_reference_checkpoint(ckpt_path: str, preset: str, out: str, **base):
+    """torch Lightning .ckpt -> Orbax checkpoint dir that every eval/recon CLI
+    accepts via --model_path. Returns (cfg, state)."""
+    import jax
+    import torch
+
+    from scenerf_tpu.train import Trainer, TrainState
+    from scenerf_tpu.utils.checkpoint import CheckpointManager
+
+    raw = torch.load(ckpt_path, map_location="cpu")
+    cfg = config_from_hparams(preset, raw.get("hyper_parameters", {}), **base)
+    ported = port_reference_state_dict(raw, n_blocks=cfg.n_blocks)
+
+    cpu = jax.devices("cpu")[0]
+    trainer = Trainer(cfg, steps_per_epoch=1000)
+    with jax.default_device(cpu):
+        template = trainer.model.init(jax.random.PRNGKey(0))
+        validate_against_model(template, ported)
+        params = {k: ported[k]["params"] for k in ported}
+        state = TrainState.from_variables(ported, trainer.tx.init(params))
+    mgr = CheckpointManager(out)
+    mgr.save(state, cfg, metrics={"depth/abs_rel": 0.0})  # also writes `best`
+    return cfg, state
+
+
 def validate_against_model(variables: Dict[str, Any], ported: Dict[str, Any]):
     """Assert the ported tree matches the model's shapes leaf by leaf."""
     import jax

@@ -19,9 +19,13 @@ from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
 from scenerf_tpu.train import Trainer
 
 N_SOURCES = int(os.environ.get("TRACE_SOURCES", "1"))
-REMAT = os.environ.get("TRACE_REMAT", "0") == "1"
+REMAT = os.environ.get("TRACE_REMAT", "0")
+REMAT = REMAT == "1" if REMAT in ("0", "1") else int(REMAT)
+_RD = os.environ.get("TRACE_REMAT_DECODER")  # unset => follow TRACE_REMAT
+REMAT_DECODER = None if _RD is None else _RD == "1"
 cfg = C.kitti(n_sources=N_SOURCES, ray_chunk=1200, n_gt_depth=256,
-              compute_dtype="bfloat16", remat_encoder=REMAT)
+              compute_dtype="bfloat16", remat_encoder=REMAT,
+              remat_decoder=REMAT_DECODER)
 mesh = make_mesh(jax.devices()[:1])
 trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000, with_depth_eval=False)
 state = trainer.create_state(jax.random.PRNGKey(0))

@@ -111,3 +111,89 @@ def test_port_reference_checkpoint_roundtrip():
     for k, v in flat_v:
         np.testing.assert_array_equal(np.asarray(flat_p[k]), np.asarray(v),
                                       err_msg=jax.tree_util.keystr(k))
+
+
+def test_lightning_ckpt_import_full_roundtrip(tmp_path):
+    """End-to-end import of a synthetic Lightning checkpoint (VERDICT r4 #6):
+    torch.save a .ckpt with the reference's exact on-disk layout --
+    `state_dict` + `hyper_parameters` with the save_hyperparameters key names
+    (ref scenerf.py:24-43,94; consumed by load_from_checkpoint in
+    ref scripts/evaluation/save_depth_metrics.py:57) -- run the import path
+    the CLI uses, restore the written Orbax checkpoint, and assert (a) every
+    hparam landed on the config, (b) the weights survive
+    torch.save -> port -> Orbax -> restore bit-identically, and (c) a val
+    render from the restored state equals one from the source variables."""
+    from scenerf_tpu.data.synthetic import make_batch
+    from scenerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from scenerf_tpu.train import Trainer, TrainState
+    from scenerf_tpu.utils.checkpoint import CheckpointManager
+    from scenerf_tpu.utils.port_reference import (config_from_hparams,
+                                                  import_reference_checkpoint)
+
+    # flag values exactly as Lightning stores them (img_size round-trips
+    # through YAML/pickle as a list in real checkpoints)
+    hp = {
+        "som_sigma": 0.03, "lr": 2e-5, "weight_decay": 1e-6,
+        "img_size": [64, 48], "n_rays": 16, "max_infer_depth": 12.0,
+        "max_sample_depth": 10.0, "eval_depth": 8.0, "std": 0.3,
+        "n_gaussians": 2, "n_pts_uni": 8, "n_pts_per_gaussian": 4,
+        "sampling_method": "uniform", "batch_size": 1,
+        "add_fov_hor": 5.0, "add_fov_ver": 3.0,
+        "sphere_H": 56, "sphere_W": 80,
+        "use_color": True, "use_reprojection": True,
+    }
+    # non-hparam shrink overrides (the reference hardcodes EfficientNet-B7;
+    # encoder size is never in a real ckpt)
+    base = dict(encoder="effnet-b0", encoder_features=128, n_sources=1,
+                n_gt_depth=8, d_hidden=32, n_blocks=3)
+    cfg = config_from_hparams("kitti", hp, **base)
+    for k in ("som_sigma", "lr", "weight_decay", "n_rays", "std",
+              "n_gaussians", "n_pts_uni", "n_pts_per_gaussian",
+              "sampling_method", "batch_size", "use_color",
+              "use_reprojection", "max_infer_depth", "max_sample_depth",
+              "eval_depth"):
+        assert getattr(cfg, k) == hp[k], k
+    assert cfg.img_size == (64, 48)
+    assert (cfg.sphere.width, cfg.sphere.height) == (80, 56)
+    assert (cfg.sphere.add_fov_hor, cfg.sphere.add_fov_ver) == (5.0, 3.0)
+
+    model = SceneRF(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    sd = build_fake_reference_sd(variables, cfg.n_blocks)
+    ckpt_path = str(tmp_path / "scenerf_fake.ckpt")
+    torch.save({"state_dict": sd, "hyper_parameters": hp,
+                "epoch": 3, "global_step": 1234}, ckpt_path)
+
+    out = str(tmp_path / "orbax")
+    cfg2, _ = import_reference_checkpoint(ckpt_path, "kitti", out, **base)
+    assert cfg2 == cfg
+
+    # restore through the same path every eval CLI takes for --model_path
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg2, mesh=mesh, steps_per_epoch=10,
+                      with_depth_eval=True)
+    template = trainer.create_state(jax.random.PRNGKey(1))
+    restored, rcfg = CheckpointManager(out).restore(template, which="best")
+    assert rcfg == cfg
+
+    flat_v = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(restored.variables())[0])
+    assert set(map(jax.tree_util.keystr, flat_v)) == \
+        set(map(jax.tree_util.keystr, flat_r))
+    for k, v in flat_v.items():
+        np.testing.assert_array_equal(np.asarray(flat_r[k]), np.asarray(v),
+                                      err_msg=jax.tree_util.keystr(k))
+
+    # one rendered val batch: restored ckpt == direct variables, bit-identical
+    params = {k: variables[k]["params"] for k in variables}
+    direct = replicate(
+        TrainState.from_variables(variables, trainer.tx.init(params)), mesh)
+    batch = shard_batch(make_batch(cfg, batch_size=1, seed=7), mesh)
+    key = jax.random.PRNGKey(3)
+    m_direct = trainer.val_step(direct, batch, key)
+    m_restored = trainer.val_step(restored, batch, key)
+    for name in m_direct:
+        np.testing.assert_array_equal(
+            np.asarray(m_direct[name]), np.asarray(m_restored[name]),
+            err_msg=name)
+    assert np.isfinite(float(m_restored["depth/abs_rel"]))
