@@ -1,12 +1,19 @@
 """Generate a synthetic on-disk KITTI odometry tree for smoke training.
 
-All frames are renders of ONE fixed textured world (ground plane + side
-walls + far wall) seen from the forward-moving camera, and the LiDAR samples
-lie on the same surfaces — so reprojection losses have their optimum at the
-true depth and depth-GT supervision is consistent with the photometric
-signal (the property data/synthetic.make_geometric_batch establishes for the
-in-memory fixture; random per-frame textures cannot converge below ~0.66
-val abs_rel, docs/PERF.md round 3).
+Each SEQUENCE is a distinct procedurally generated world (seeded by the
+sequence id): ground plane + side walls + far wall + box obstacles with
+occlusion, multi-octave band-limited textures, and a camera that sways and
+yaws while advancing. LiDAR GT is produced by raycasting through integer
+pixels of each frame's own camera, so every return is visible (occlusion-
+correct) and projects back to its pixel exactly.
+
+Why this world (VERDICT r4 weak 4 / next 5): the round-4 fixture rendered ONE
+fixed convex world for every sequence, so the val split (sequence 08) was
+frame-for-frame identical to the start of the train split (sequence 00) and
+all quality arms plateaued indistinguishably. Distinct worlds make held-out
+abs_rel a generalization measurement; occluders make multi-view supervision
+(more sources) matter, since single-view photometric consistency is ambiguous
+behind edges.
 
 Layout matches the real tree the reference trains on (ref
 scenerf/data/semantic_kitti/kitti_dm.py + kitti_dataset.py): calib.txt,
@@ -22,6 +29,8 @@ p = argparse.ArgumentParser()
 p.add_argument("--root", default="/tmp/fake_kitti")
 p.add_argument("--frames", type=int, default=24)
 p.add_argument("--sequence", default="00")
+p.add_argument("--seed", type=int, default=None,
+               help="world seed; default 1000 + int(sequence)")
 p.add_argument("--val", action="store_true", help="also emit voxel files")
 args = p.parse_args()
 
@@ -48,100 +57,171 @@ with open(os.path.join(seq, "calib.txt"), "w") as f:
 
 H, W = 376, 1241
 fx, fy, cx, cy = P2[0, 0], P2[1, 1], P2[0, 2], P2[1, 2]
-# P2 = [K | K b]: projecting cam0-frame X yields K(X + b) -- i.e. the image
-# camera (cam2) sits at -b in the cam0 frame. The LOADER (data/calib.py
-# T_cam0_2_cam2 + kitti.lidar_to_depth) models only the x component of b
-# (the KITTI stereo baseline, P2[0,3]/fx) and projects through K, so render
-# from the loader's camera model -- c - [P2[0,3]/fx, 0, 0] -- to make the
-# images pixel-exact with the depth GT the loader produces (ADVICE r3:
-# using the full K^-1 P2[:,3] here left a ~4 mm x / 5 mm z mismatch, up to
-# ~1.5 px at the nearest GT depths).
-K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+# P2 = [K | K b]: the LOADER (data/calib.py T_cam0_2_cam2 +
+# kitti.lidar_to_depth) models only the x component of b (the KITTI stereo
+# baseline, P2[0,3]/fx) and projects through K, so render from the loader's
+# camera model -- center c - R @ b_cam2 -- to make the images pixel-exact
+# with the depth GT the loader produces (ADVICE r3).
 b_cam2 = np.array([P2[0, 3] / fx, 0.0, 0.0])
 
-# world frame == cam frame of pose 0 (x right, y down, z forward); the world
+# world frame == cam0 frame of pose 0 (x right, y down, z forward); the world
 # surfaces are FIXED while the camera advances along +z
-GROUND_Y = 1.65       # ground plane y = +1.65 (below the camera)
+GROUND_Y = 1.65         # ground plane y = +1.65 (below the camera)
 WALL_X = (-10.0, 10.0)  # side walls
-FAR_Z = 75.0          # back wall; inside eval_depth=80 so far-wall LiDAR
-                      # returns survive the max-depth cut for ALL frames
-                      # (ADVICE r3: at 90 the far 25% of each scan was
-                      # filtered out of depth GT for frames 0-19)
+FAR_Z = 75.0            # back wall; inside eval_depth=80 so far LiDAR returns
+                        # survive the max-depth cut for ALL frames (ADVICE r3)
+
+seed = args.seed
+if seed is None:
+    try:
+        seed = 1000 + int(args.sequence)
+    except ValueError:
+        seed = 1000 + sum(args.sequence.encode())
+world_rng = np.random.default_rng(seed)
+
+# --- box obstacles: [N, 6] (x0, x1, y_top, y_bot, z0, z1), clear of the
+# camera path (|x| sway <= 0.6, see path below)
+N_BOX = 14
+bx = world_rng.uniform(2.5, 8.0, N_BOX) * world_rng.choice([-1, 1], N_BOX)
+bhw = world_rng.uniform(0.6, 1.5, N_BOX)            # half width (x)
+bhd = world_rng.uniform(0.6, 1.6, N_BOX)            # half depth (z)
+btop = world_rng.uniform(-1.6, -0.2, N_BOX)         # top (y up is negative)
+bz = np.sort(world_rng.uniform(6.0, 68.0, N_BOX))
+BOXES = np.stack([bx - bhw, bx + bhw, btop,
+                  np.full(N_BOX, GROUND_Y), bz - bhd, bz + bhd], axis=1)
+
+# --- multi-octave texture: per-sequence random frequency vectors + phases,
+# ANALYTICALLY anti-aliased: sin(k . p) box/Gaussian-filtered over the pixel's
+# world-space footprint (sx, sy, sz) attenuates by exp(-|k * sigma|^2 / 2).
+# Without this the grazing-angle ground is sampled far beyond Nyquist and
+# distant texture is aliasing noise -- photometrically INconsistent.
+K1 = world_rng.uniform(0.4, 1.5, size=(3, 3)) * world_rng.choice(
+    [-1, 1], size=(3, 3))                            # low octave [chan, axis]
+K2 = world_rng.uniform(2.0, 4.5, size=(3, 3)) * world_rng.choice(
+    [-1, 1], size=(3, 3))                            # high octave
+PH = world_rng.uniform(0, 2 * np.pi, size=(3, 2))
 
 
 def world_rgb(x, y, z, sx, sy, sz):
-    """Texture of the world hit point with ANALYTIC anti-aliasing: each
-    sinusoid sin(k*a) box/Gaussian-filtered over the pixel's world-space
-    footprint sigma_a attenuates by exp(-(k*sigma_a)^2/2). Without this the
-    grazing-angle ground is sampled far beyond Nyquist and distant texture is
-    pure aliasing noise -- photometrically INconsistent across views."""
-    def a(k, s):
-        return np.exp(-0.5 * (k * s) ** 2)
-
-    return np.stack([
-        0.5 + 0.35 * a(1.3, sx) * a(0.9, sz) * np.sin(1.3 * x) * np.cos(0.9 * z),
-        0.5 + 0.35 * a(0.7, sz) * a(1.7, sy) * np.sin(0.7 * z + 2.0) * np.sin(1.7 * y + 0.4),
-        0.5 + 0.35 * a(1.1, sx) * a(0.5, sz) * np.cos(1.1 * x - 0.6) * np.cos(0.5 * z + 1.1),
-    ], axis=-1)
+    chans = []
+    for c in range(3):
+        val = 0.5
+        for K_, amp, ph in ((K1, 0.30, PH[c, 0]), (K2, 0.15, PH[c, 1])):
+            kx, ky, kz = K_[c]
+            att = np.exp(-0.5 * ((kx * sx) ** 2 + (ky * sy) ** 2
+                                 + (kz * sz) ** 2))
+            val = val + amp * att * np.sin(kx * x + ky * y + kz * z + ph)
+        chans.append(val)
+    return np.stack(chans, axis=-1)
 
 
-def render(c):
-    """(img [H,W,3] u8, depth [H,W] f32) of the world from camera center c."""
+def raycast(c2, R, dx, dy):
+    """Depth (camera-frame z) of the first surface along rays through
+    camera-frame directions (dx, dy, 1) from center c2 with rotation R.
+    Since p = c2 + lam * (R @ d_cam) with d_cam z == 1, lam IS the depth."""
+    dwx = R[0, 0] * dx + R[0, 1] * dy + R[0, 2]
+    dwy = R[1, 0] * dx + R[1, 1] * dy + R[1, 2]
+    dwz = R[2, 0] * dx + R[2, 1] * dy + R[2, 2]
+
+    def safe(d):
+        return np.where(np.abs(d) < 1e-9, 1e-9, d)
+
+    lam = np.where(dwz > 1e-6, (FAR_Z - c2[2]) / safe(dwz), 1e9)
+    for wx in WALL_X:
+        lw = (wx - c2[0]) / safe(dwx)
+        lam = np.where((lw > 0.1) & (lw < lam), lw, lam)
+    lg = (GROUND_Y - c2[1]) / safe(dwy)
+    lam = np.where((lg > 0.1) & (lg < lam), lg, lam)
+    for x0, x1, y0, y1, z0, z1 in BOXES:
+        tn = np.full_like(lam, 0.1)
+        tf = np.full_like(lam, np.inf)
+        for lo, hi, cc, dd in ((x0, x1, c2[0], dwx), (y0, y1, c2[1], dwy),
+                               (z0, z1, c2[2], dwz)):
+            t1 = (lo - cc) / safe(dd)
+            t2 = (hi - cc) / safe(dd)
+            tn = np.maximum(tn, np.minimum(t1, t2))
+            tf = np.minimum(tf, np.maximum(t1, t2))
+        lam = np.where((tn <= tf) & (tn < lam), tn, lam)
+    return lam, (dwx, dwy, dwz)
+
+
+def render(c2, R):
+    """(img [H,W,3] u8, depth [H,W] f32) from cam2 center c2, rotation R."""
     vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
     dx = (uu + 0.5 - cx) / fx
     dy = (vv + 0.5 - cy) / fy
-    lam = np.full((H, W), FAR_Z - c[2])          # back wall (d_z = 1)
-    for wx in WALL_X:
-        lw = (wx - c[0]) / np.where(np.abs(dx) < 1e-9, 1e-9, dx)
-        lam = np.where((lw > 0.1) & (lw < lam), lw, lam)
-    lg = (GROUND_Y - c[1]) / np.where(np.abs(dy) < 1e-9, 1e-9, dy)
-    lam = np.where((lg > 0.1) & (lg < lam), lg, lam)
-    x, y, z = c[0] + lam * dx, c[1] + lam * dy, c[2] + lam
+    lam, (dwx, dwy, dwz) = raycast(c2, R, dx, dy)
+    x, y, z = c2[0] + lam * dwx, c2[1] + lam * dwy, c2[2] + lam * dwz
+
     # world-space footprint of one pixel (finite differences over the grid)
     def footprint(w):
         gu = np.gradient(w, axis=1)
         gv = np.gradient(w, axis=0)
         return np.sqrt(gu * gu + gv * gv)
-    img = np.clip(world_rgb(x, y, z, footprint(x), footprint(y), footprint(z)),
-                  0, 1)
+
+    img = np.clip(world_rgb(x, y, z, footprint(x), footprint(y),
+                            footprint(z)), 0, 1)
     return (img * 255).astype(np.uint8), lam.astype(np.float32)
 
 
-# velo -> cam is Tr; build cam -> velo to express world-surface samples as
-# LiDAR returns of each frame
-R, t = Tr[:, :3], Tr[:, 3]
-R_inv = np.linalg.inv(R)
+def yaw(psi):
+    c, s = np.cos(psi), np.sin(psi)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
-rng = np.random.default_rng(0)
+
+# velo -> cam0 is Tr; build cam0 -> velo to express raycast hits as LiDAR
+# returns of each frame
+R_tr, t_tr = Tr[:, :3], Tr[:, 3]
+R_tr_inv = np.linalg.inv(R_tr)
+
+rng = np.random.default_rng(seed + 1)
 lines = []
 for i in range(args.frames):
+    # swaying, yawing forward path (held-out sequences get different phases)
+    c = np.array([0.6 * np.sin(0.18 * i + PH[0, 0]), 0.0, 0.5 * i])
+    R = yaw(0.05 * np.sin(0.13 * i + PH[1, 0]))
     T = np.eye(4)
-    T[2, 3] = 0.5 * i  # forward along cam z
+    T[:3, :3] = R
+    T[:3, 3] = c
     lines.append(" ".join(f"{v:.6f}" for v in T[:3].reshape(-1)))
 
-    c = np.array([0.0, 0.0, 0.5 * i])
-    img, _ = render(c - b_cam2)
+    c2 = c - R @ b_cam2  # the loader's cam2 center (see b_cam2 note above)
+    img, _ = render(c2, R)
     Image.fromarray(img).save(os.path.join(seq, "image_2", f"{i:06d}.png"))
 
-    # lidar returns ON the world surfaces, in this frame's velo coords
+    # LiDAR by pixel raycast: returns are visible by construction and project
+    # back to their integer pixel exactly (lidar_to_depth rounds); depth <=
+    # FAR_Z - z_cam < eval_depth so nothing is range-cut
     n = 6000
-    gx = rng.uniform(-9.5, 9.5, n // 2)
-    gz = rng.uniform(2, 70, n // 2)
-    ground = np.stack([gx, np.full(n // 2, GROUND_Y), gz], 1)
-    wz = rng.uniform(2, 70, n // 4)
-    wy = rng.uniform(-1.2, GROUND_Y, n // 4)
-    wall = np.stack([np.full(n // 4, WALL_X[0]), wy, wz], 1)
-    m = n - n // 2 - n // 4
-    fxw = rng.uniform(-9.5, 9.5, m)
-    fyw = rng.uniform(-1.2, GROUND_Y, m)
-    far = np.stack([fxw, fyw, np.full(m, FAR_Z)], 1)
-    p_world = np.concatenate([ground, wall, far])       # world == cam0 frame
-    p_cam = p_world - c                                  # this frame's cam
-    p_velo = (p_cam - t) @ R_inv.T
-    pts = np.zeros((n, 4), np.float32)
+    u = rng.integers(2, W - 2, n).astype(np.float64)
+    v = rng.integers(2, H - 2, n).astype(np.float64)
+    dx = (u - cx) / fx
+    dy = (v - cy) / fy
+    lam, (dwx, dwy, dwz) = raycast(c2, R, dx, dy)
+    keep = lam > 1.0  # drop degenerate near hits (loader needs velo x > 0)
+    p_world = np.stack([c2[0] + lam * dwx, c2[1] + lam * dwy,
+                        c2[2] + lam * dwz], 1)[keep]
+    p_cam0 = (p_world - c) @ R  # R.T @ (p - c), row-vector form
+    p_velo = (p_cam0 - t_tr) @ R_tr_inv.T
+    pts = np.zeros((p_velo.shape[0], 4), np.float32)
     pts[:, :3] = p_velo
     pts.tofile(os.path.join(seq, "velodyne", f"{i:06d}.bin"))
 
 with open(os.path.join(root, "dataset", "poses", args.sequence + ".txt"), "w") as f:
     f.write("\n".join(lines))
-print(f"wrote {args.frames} frames to {root}")
+
+if args.val:
+    from scenerf_tpu.data import io_voxel
+
+    vox_dir = os.path.join(seq, "voxels")
+    os.makedirs(vox_dir, exist_ok=True)
+    labels = np.zeros((256 * 256 * 32,), np.uint16)
+    labels[: 256 * 256 * 2] = 40
+    invalid = np.zeros(256 * 256 * 32, np.uint8)
+    for i in range(0, args.frames, 5):
+        labels.tofile(f"{vox_dir}/{i:06d}.label")
+        io_voxel.pack(invalid).tofile(f"{vox_dir}/{i:06d}.invalid")
+        io_voxel.pack((labels > 0).astype(np.uint8)).tofile(
+            f"{vox_dir}/{i:06d}.bin")
+print(f"wrote {args.frames} frames to {root} (seq {args.sequence}, "
+      f"seed {seed}, {N_BOX} boxes)")
