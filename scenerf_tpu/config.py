@@ -152,14 +152,20 @@ class SceneRFConfig:
                                        # 4x300M at 4 sources) for a ~5-10 ms
                                        # gather+matmul recompute in backward.
                                        # Bit-identical outputs/grads
-    featurize_gather: str = "taps"     # "taps" | "win2": pyramid bilinear
-                                       # sampling as 4 row-gathers (autodiff
-                                       # scatter-add backward) or as windowed
-                                       # [N,2,C] gathers/scatters. MEASURED
-                                       # (docs/PERF.md round 4): win2 is ~15x
-                                       # slower at the 160-ch stage on v5e;
-                                       # taps is the decided default, win2
-                                       # kept as a bit-identical alternate
+    featurize_gather: str = "taps"     # "taps" | "win2" | "mm": pyramid
+                                       # bilinear sampling as 4 row-gathers
+                                       # (autodiff scatter-add backward),
+                                       # windowed [N,2,C] gathers/scatters,
+                                       # or taps forward + one-hot-MATMUL
+                                       # d_img backward for maps with
+                                       # <= 4096 rows (ops/gather_scatter
+                                       # bilinear_sample_mm; the round-5
+                                       # trace showed the bottleneck-level
+                                       # scatter-add costing 54 ms/step).
+                                       # MEASURED (docs/PERF.md round 4):
+                                       # win2 is ~15x slower at the 160-ch
+                                       # stage on v5e; taps vs mm is a
+                                       # round-5 probe
     decoder_conv: str = "conv"         # "conv" | "taps" | "taps3": decoder
                                        # 3x3 convs as nn.Conv or as im2col
                                        # matmuls (ops/conv_taps.py). MEASURED

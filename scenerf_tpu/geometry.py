@@ -144,8 +144,9 @@ def grid_sample_norm(img: jnp.ndarray, grid_xy: jnp.ndarray,
     """torch.grid_sample(align_corners=False, padding zeros) over [H, W, C].
 
     grid_xy: [N, 2] normalized coords in [-1, 1]. Returns [N, C].
-    impl: "taps" (4 row-gathers) or "win2" (windowed gather/scatter custom
-    VJP, ops/gather_scatter.py) -- bit-identical results in f32.
+    impl: "taps" (4 row-gathers), "win2" (windowed gather/scatter custom
+    VJP) or "mm" (taps forward + one-hot-matmul d_img backward for small
+    maps, ops/gather_scatter.py) -- bit-identical results in f32.
     """
     H, W, _ = img.shape
     ix = ((grid_xy[:, 0] + 1.0) * W - 1.0) * 0.5
@@ -153,6 +154,9 @@ def grid_sample_norm(img: jnp.ndarray, grid_xy: jnp.ndarray,
     if impl == "win2":
         from scenerf_tpu.ops.gather_scatter import bilinear_sample_w2
         return bilinear_sample_w2(img, ix, iy)
+    if impl == "mm":
+        from scenerf_tpu.ops.gather_scatter import bilinear_sample_mm
+        return bilinear_sample_mm(img, ix, iy)
     return bilinear_sample(img, ix, iy)
 
 

@@ -177,3 +177,125 @@ def _bwd(res, g):
 
 
 bilinear_sample_w2.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------- #
+# "mm": taps forward + one-hot-matmul backward for small feature maps
+# --------------------------------------------------------------------------- #
+#
+# The round-5 flagship device trace showed the d_img scatter-add backward of
+# the pyramid featurize dominating the step: 4 x ~13.5 ms per step JUST for
+# the bottleneck level ([2632, 1280] target, 76.8k samples) -- TPU scatters
+# serialize, running at ~15 GB/s effective vs the 819 GB/s HBM. For a SMALL
+# row space the scatter is algebraically a matmul:
+#
+#   d_flat[r, c] = sum_n W[r, n] * g[n, c],
+#   W[r, n] = sum_tap w_tap[n] * [rows_tap[n] == r]
+#
+# which the MXU executes densely: 2*HW*N*C flops (~0.52 TF per source for the
+# bottleneck level -- ~2.6 ms at v5e peak) plus the W-tile traffic. W is
+# built blockwise inside a lax.scan so it never materializes beyond
+# [HW, N_BLK]. The crossover is row count: W traffic scales with HW*N, so
+# for the larger pyramid levels (HW >= 10k) the matmul loses to the scatter
+# and this impl falls back to the same scatter-add the autodiff taps path
+# emits. f32 accumulation over the scan is *more* precise than the bf16
+# scatter chain it replaces.
+
+MM_BWD_MAX_ROWS = 4096   # covers the bottleneck level; larger levels scatter
+_MM_N_BLK = 4096
+
+
+def _taps_data(img, ix, iy):
+    """Clipped flat rows + OOB-masked weights of the 4 corner taps, plus the
+    raw interp residuals (same tap semantics as geometry.bilinear_sample)."""
+    H, W, _ = img.shape
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    taps = []
+    for dx_, dy_, w in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
+                        (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
+        xi = x0i + dx_
+        yi = y0i + dy_
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        rows = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        taps.append((rows, (w * inb).astype(img.dtype), inb))
+    return taps, (wx, wy)
+
+
+@jax.custom_vjp
+def bilinear_sample_mm(img: jnp.ndarray, ix: jnp.ndarray,
+                       iy: jnp.ndarray) -> jnp.ndarray:
+    """geometry.bilinear_sample (bit-identical forward) with a one-hot-matmul
+    d_img backward for small maps (see the "mm" note above)."""
+    from scenerf_tpu.geometry import bilinear_sample
+
+    return bilinear_sample(img, ix, iy)
+
+
+def _mm_fwd(img, ix, iy):
+    return bilinear_sample_mm(img, ix, iy), (img, ix, iy)
+
+
+def _mm_bwd(res, g):
+    img, ix, iy = res
+    H, W, C = img.shape
+    HW = H * W
+    taps, (wx, wy) = _taps_data(img, ix, iy)
+    gf = g.astype(img.dtype)
+    N = gf.shape[0]
+
+    if HW <= MM_BWD_MAX_ROWS:
+        nb = min(_MM_N_BLK, N)
+        pad = (-N) % nb
+        rows = jnp.stack([r for r, _, _ in taps])          # [4, N]
+        wts = jnp.stack([w for _, w, _ in taps])           # [4, N]
+        gp = gf
+        if pad:
+            rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+            wts = jnp.pad(wts, ((0, 0), (0, pad)))
+            gp = jnp.pad(gf, ((0, pad), (0, 0)))
+        nblk = rows.shape[1] // nb
+        rows = rows.reshape(4, nblk, nb).transpose(1, 0, 2)
+        wts = wts.reshape(4, nblk, nb).transpose(1, 0, 2)
+        gp = gp.reshape(nblk, nb, C)
+        hw_iota = jnp.arange(HW, dtype=jnp.int32)[:, None]  # [HW, 1]
+
+        def body(acc, xs):
+            r, w, gb = xs  # [4, nb], [4, nb], [nb, C]
+            wt = jnp.zeros((HW, nb), img.dtype)
+            for t in range(4):
+                wt = wt + jnp.where(hw_iota == r[t][None, :],
+                                    w[t][None, :], 0)
+            return acc + jnp.dot(wt, gb,
+                                 preferred_element_type=jnp.float32), None
+
+        acc0 = jnp.zeros((HW, C), jnp.float32)
+        d_flat, _ = jax.lax.scan(body, acc0, (rows, wts, gp))
+        d_img = d_flat.astype(img.dtype).reshape(H, W, C)
+    else:
+        # large maps: same scatter-add the autodiff taps backward emits
+        # (rows are clipped in-bounds with weight 0, so a plain add is exact)
+        d_flat = jnp.zeros((HW, C), img.dtype)
+        for r, w, _ in taps:
+            d_flat = d_flat.at[r].add(gf * w[:, None],
+                                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        d_img = d_flat.reshape(H, W, C)
+
+    # d coords: re-gather the masked corner values (cheap; scatters are the
+    # expensive leg, gathers are not)
+    flat = img.reshape(HW, C)
+    vals = [jnp.take(flat, r, axis=0) * m[:, None].astype(img.dtype)
+            for r, _, m in taps]
+    v00, v10, v01, v11 = vals
+    wxc = wx[:, None].astype(img.dtype)
+    wyc = wy[:, None].astype(img.dtype)
+    d_ix = jnp.sum(gf * ((1 - wyc) * (v10 - v00) + wyc * (v11 - v01)), axis=-1)
+    d_iy = jnp.sum(gf * ((1 - wxc) * (v01 - v00) + wxc * (v11 - v10)), axis=-1)
+    return d_img, d_ix.astype(ix.dtype), d_iy.astype(iy.dtype)
+
+
+bilinear_sample_mm.defvjp(_mm_fwd, _mm_bwd)

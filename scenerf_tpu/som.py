@@ -74,11 +74,16 @@ def ray_som(
     best = jnp.argmax(p_z_c2, axis=2)         # [R, P]
 
     # rel weight of proto r to each sample's best-matching proto:
-    # w_rel[ray, c, p] = rel_w[ray, c, best[ray, p]]
-    w_rel = jnp.take_along_axis(
-        rel_w, jnp.broadcast_to(best[:, None, :], (m.shape[0], n_protos, best.shape[1])),
-        axis=2,
-    )  # [R, C, P]
+    # w_rel[ray, c, p] = rel_w[ray, c, best[ray, p]]. One-hot contraction, not
+    # take_along_axis: the gather over the tiny proto axis lowered to a
+    # serialized 307k-element TPU gather costing ~15 ms/step in the round-5
+    # flagship trace, while selecting via an exact 0/1 mask and summing over
+    # the C protos is pure vector work (bit-identical: a one-hot sum has a
+    # single nonzero term).
+    onehot_best = (best[:, None, :, None]
+                   == jnp.arange(n_protos)[None, None, None, :])  # [R,1,P,C]
+    w_rel = jnp.sum(jnp.where(onehot_best, rel_w[:, :, None, :], 0.0),
+                    axis=-1)  # [R, C, P]
 
     w = w_rel * jnp.swapaxes(p_z_c1, 1, 2) / p_best[:, None, :] + 1e-5  # [R, C, P]
     w_sum = jnp.sum(w, axis=2)

@@ -65,6 +65,11 @@ def main():
             cost = cost[0]
         print(f"[probe] program flops={cost.get('flops', 0) / 1e12:.2f} TF",
               flush=True)
+        ba = cost.get("bytes accessed", 0.0)
+        if ba:
+            # roofline datum: HBM floor = bytes / 819 GB/s (v5e)
+            print(f"[probe] bytes accessed={ba / 1e9:.2f} GB "
+                  f"(HBM floor ~{ba / 819e9 * 1e3:.0f} ms on v5e)", flush=True)
     except Exception:
         pass
 

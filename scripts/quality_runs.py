@@ -130,9 +130,13 @@ def main():
     write_val_voxel_anchors(args.root)
 
     def make_cfg(dtype, n_sources):
+        # remat_decoder=False matches the flagship's encoder-only remat
+        # placement (docs/PERF.md round-4 remat-split probe), so the arms run
+        # the exact bench-rung programs (remat placement is bit-identical
+        # math -- split parity test in tests/test_model.py)
         return C.kitti(n_sources=n_sources, ray_chunk=1200, n_gt_depth=256,
                        compute_dtype=dtype,
-                       remat_encoder=(n_sources > 1))
+                       remat_encoder=(n_sources > 1), remat_decoder=False)
 
     grid = {
         "bf16x1": make_cfg("bfloat16", 1),

@@ -76,6 +76,109 @@ def test_jit_and_vjp_compile(rng):
     assert np.isfinite(np.asarray(g(img, ix, iy)).sum())
 
 
+def test_mm_forward_is_bit_identical(rng):
+    """The mm forward IS geometry.bilinear_sample (same call)."""
+    from scenerf_tpu.ops.gather_scatter import bilinear_sample_mm
+
+    H, W, C = 13, 17, 5
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng)
+    got = bilinear_sample_mm(img, ix, iy)
+    want = geo.bilinear_sample(img, ix, iy)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("hw", ["small", "large"])
+def test_mm_gradients_match_taps(rng, hw):
+    """Both mm backward branches -- the one-hot matmul (HW <= threshold) and
+    the scatter fallback -- must match autodiff of the taps path, including
+    OOB and exact-boundary coords."""
+    from scenerf_tpu.ops import gather_scatter as gs
+
+    if hw == "small":
+        H, W, C = 11, 9, 4          # HW = 99 <= MM_BWD_MAX_ROWS
+        assert H * W <= gs.MM_BWD_MAX_ROWS
+    else:
+        H, W, C = 80, 64, 4         # HW = 5120 > MM_BWD_MAX_ROWS
+        assert H * W > gs.MM_BWD_MAX_ROWS
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng, n=200)
+    cot = jnp.asarray(rng.normal(size=(200, C)).astype(np.float32))
+
+    def loss_mm(img, ix, iy):
+        return jnp.sum(gs.bilinear_sample_mm(img, ix, iy) * cot)
+
+    def loss_taps(img, ix, iy):
+        return jnp.sum(geo.bilinear_sample(img, ix, iy) * cot)
+
+    g_mm = jax.grad(loss_mm, argnums=(0, 1, 2))(img, ix, iy)
+    g_tp = jax.grad(loss_taps, argnums=(0, 1, 2))(img, ix, iy)
+    # d_img: the matmul branch accumulates in f32 through a different sum
+    # order than the scatter chain -- allclose, not equal
+    np.testing.assert_allclose(np.asarray(g_mm[0]), np.asarray(g_tp[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_mm[1]), np.asarray(g_tp[1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_mm[2]), np.asarray(g_tp[2]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mm_bwd_n_block_padding(rng):
+    """N not divisible by the scan block still yields exact grads (padded
+    rows carry weight 0 and row -1, matching no output row)."""
+    from scenerf_tpu.ops import gather_scatter as gs
+
+    H, W, C = 7, 9, 3
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng, n=37)
+    cot = jnp.asarray(rng.normal(size=(37, C)).astype(np.float32))
+    old = gs._MM_N_BLK
+    gs._MM_N_BLK = 16   # force nblk > 1 with a ragged tail
+    try:
+        g_mm = jax.grad(lambda im: jnp.sum(
+            gs.bilinear_sample_mm(im, ix, iy) * cot))(img)
+    finally:
+        gs._MM_N_BLK = old
+    g_tp = jax.grad(lambda im: jnp.sum(
+        geo.bilinear_sample(im, ix, iy) * cot))(img)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_tp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_model_forward_mm_matches_taps():
+    """Full SceneRF loss + grads match between taps and mm featurize
+    (bit-identical forward; backward differs only in d_img sum order)."""
+    from scenerf_tpu import config as C
+    from scenerf_tpu.data.synthetic import make_batch
+    from scenerf_tpu.model import SceneRF
+
+    cfg_t = C.tiny()
+    cfg_m = cfg_t.replace(featurize_gather="mm")
+    m_t, m_m = SceneRF(cfg_t), SceneRF(cfg_m)
+    variables = m_t.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg_t, 1).items()}
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(model):
+        def f(params):
+            v = dict(variables)
+            v["mlp"] = params
+            loss, _, _ = model.forward(v, batch, key, train=False,
+                                       with_depth_eval=False)
+            return loss
+        return f
+
+    lt, gt = jax.value_and_grad(loss_fn(m_t))(variables["mlp"])
+    lm, gm = jax.value_and_grad(loss_fn(m_m))(variables["mlp"])
+    np.testing.assert_allclose(float(lt), float(lm), rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gt)[0],
+            jax.tree_util.tree_flatten_with_path(gm)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
 def test_model_forward_win2_matches_taps():
     """Full SceneRF forward loss matches between featurize_gather impls to
     float-ulp level (f32 tiny config; XLA's FMA/fusion choices differ between
