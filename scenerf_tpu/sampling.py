@@ -76,21 +76,27 @@ def log_sensor_distances(
 
 
 def weighted_uniform_sensor_distances(
-    key: jax.Array, weights: jnp.ndarray, n_fine: int, d_min: float, d_max: float
+    key: jax.Array, weights: jnp.ndarray, n_fine: int, d_min: float, d_max: float,
+    full_rows: int | None = None, row_offset: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Importance-sample distances from per-ray coarse weights via inverse-CDF
-    over equal-width bins (ref models/utils.py:52-72)."""
+    over equal-width bins (ref models/utils.py:52-72).
+
+    full_rows/row_offset give it the same shard-invariant noise contract as
+    every other sampler (row_noise): a ray draws the same (u, jitter)
+    regardless of chunking/sharding. NOTE the invariance covers the noise
+    only -- `weights` must already be the global ray's coarse weights."""
     n_rays, n_coarse = weights.shape
     w = jax.lax.stop_gradient(weights) + 1e-5
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
     cdf = jnp.concatenate([jnp.zeros((n_rays, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1)
     ku, kj = jax.random.split(key)
-    u = jax.random.uniform(ku, (n_rays, n_fine))
+    u = row_noise(ku, n_rays, n_fine, full_rows, row_offset)
     # searchsorted(right) - 1, clamped at 0
     inds = jnp.maximum(
         jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u) - 1, 0
     ).astype(jnp.float32)
-    frac = (inds + jax.random.uniform(kj, (n_rays, n_fine))) / n_coarse
+    frac = (inds + row_noise(kj, n_rays, n_fine, full_rows, row_offset)) / n_coarse
     return d_min + (d_max - d_min) * frac
 
 

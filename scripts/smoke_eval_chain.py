@@ -1,19 +1,26 @@
 """End-to-end eval/recon chain on the smoke checkpoint + fake KITTI tree:
 save_depth_metrics -> agg -> render_colors -> eval_color ->
 generate_novel_depths -> depth2tsdf -> eval_sr.
+
+Paths are env-overridable (SMOKE_ROOT/SMOKE_PREP/SMOKE_RUN/SMOKE_EVAL/
+SMOKE_RECON) and every stage's wall-clock is printed and summarized, so one
+hardware run records the whole pipeline's per-stage cost (VERDICT r4 next 7).
 """
+import json
 import os
 import sys
+import time
 
 import numpy as np
 
-ROOT = "/tmp/fake_kitti"
-PREP = "/tmp/fake_kitti_prep"
+ROOT = os.environ.get("SMOKE_ROOT", "/tmp/fake_kitti")
+PREP = os.environ.get("SMOKE_PREP", "/tmp/fake_kitti_prep")
+RUN = os.environ.get("SMOKE_RUN", "/tmp/fake_run")
 CKPT = None
-for d in os.listdir("/tmp/fake_run/ckpts"):
-    CKPT = os.path.join("/tmp/fake_run/ckpts", d)
-EVAL = "/tmp/fake_eval"
-RECON = "/tmp/fake_recon"
+for d in os.listdir(os.path.join(RUN, "ckpts")):
+    CKPT = os.path.join(RUN, "ckpts", d)
+EVAL = os.environ.get("SMOKE_EVAL", "/tmp/fake_eval")
+RECON = os.environ.get("SMOKE_RECON", "/tmp/fake_recon")
 
 # ---- fake voxel GT: ground plane (road) + a wall (building) ----
 # (sequence 08 = the KITTI val split the eval CLIs read, data/kitti.SPLITS)
@@ -38,10 +45,15 @@ common_args = ["--root", ROOT, "--preprocess_root", PREP,
                "--model_path", CKPT, "--sequence_distance", "2.0",
                "--frames_interval", "0.4"]
 
+stage_s = {}
+
 
 def run(cmd, args):
     print(f"\n==== {cmd.name} ====", flush=True)
+    t0 = time.time()
     cmd(args=args, standalone_mode=False)
+    stage_s[cmd.name] = round(time.time() - t0, 1)
+    print(f"==== {cmd.name}: {stage_s[cmd.name]}s ====", flush=True)
 
 
 from scenerf_tpu.cli import evaluation as E
@@ -60,4 +72,5 @@ run(Rc.depth2tsdf, common_args + [
     "--angle", "10.0", "--step", "0.5", "--max_distance", "1.1"])
 run(E.eval_sr, common_args + ["--eval_save_dir", EVAL,
                               "--recon_save_dir", RECON])
+print("\nSTAGE WALL-CLOCK: " + json.dumps(stage_s), flush=True)
 print("\nEVAL CHAIN COMPLETE", flush=True)

