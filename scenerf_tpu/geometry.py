@@ -157,6 +157,9 @@ def grid_sample_norm(img: jnp.ndarray, grid_xy: jnp.ndarray,
     if impl == "mm":
         from scenerf_tpu.ops.gather_scatter import bilinear_sample_mm
         return bilinear_sample_mm(img, ix, iy)
+    if impl == "mmseg":
+        from scenerf_tpu.ops.gather_scatter import bilinear_sample_mmseg
+        return bilinear_sample_mmseg(img, ix, iy)
     return bilinear_sample(img, ix, iy)
 
 

@@ -123,6 +123,48 @@ def test_mm_gradients_match_taps(rng, hw):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw", ["small", "large"])
+def test_mmseg_gradients_match_taps(rng, hw):
+    """mmseg: small maps take the mm matmul branch; large maps take the
+    sorted-segment-sum backward. Both must match autodiff of taps."""
+    from scenerf_tpu.ops import gather_scatter as gs
+
+    if hw == "small":
+        H, W, C = 11, 9, 4
+    else:
+        H, W, C = 80, 64, 4
+        assert H * W > gs.MM_BWD_MAX_ROWS
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    ix, iy = coords_cases(H, W, rng, n=200)
+    cot = jnp.asarray(rng.normal(size=(200, C)).astype(np.float32))
+
+    g_sg = jax.grad(lambda *a: jnp.sum(gs.bilinear_sample_mmseg(*a) * cot),
+                    argnums=(0, 1, 2))(img, ix, iy)
+    g_tp = jax.grad(lambda *a: jnp.sum(geo.bilinear_sample(*a) * cot),
+                    argnums=(0, 1, 2))(img, ix, iy)
+    for a, b in zip(g_sg, g_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_seg_d_flat_heavy_duplicates(rng):
+    """Segment sum with many entries hitting the same row (the cumsum-diff
+    precision case) stays within f32 cancellation bounds."""
+    from scenerf_tpu.ops.gather_scatter import _seg_d_flat
+
+    N, C, HW = 4096, 8, 16
+    rows = jnp.asarray(rng.integers(0, HW, (4, N)), jnp.int32)
+    wts = jnp.asarray(rng.uniform(0, 1, (4, N)).astype(np.float32))
+    gf = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    got = np.asarray(_seg_d_flat(rows, wts, gf, HW))
+    want = np.zeros((HW, C), np.float64)
+    gn = np.asarray(gf, np.float64)
+    for t in range(4):
+        for n in range(N):
+            want[int(rows[t, n])] += float(wts[t, n]) * gn[n]
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
 def test_mm_bwd_n_block_padding(rng):
     """N not divisible by the scan block still yields exact grads (padded
     rows carry weight 0 and row -1, matching no output row)."""
