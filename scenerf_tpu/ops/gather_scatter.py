@@ -320,21 +320,43 @@ bilinear_sample_mm.defvjp(_mm_fwd, _mm_bwd)
 # (MORE precise than the bf16 scatter chain); the cumsum-difference loses
 # ~|cum|/|segment| * eps_f32 ~ 3e-6 relative, far below bf16 grad noise.
 
+_SEG_CUM_BYTES = 256 * 1024 * 1024  # cap the f32 cumsum transient
+
+
 def _seg_d_flat(rows, wts, gf, HW):
-    """Sorted-segment-sum d_flat [HW, C]: rows/wts [4, N], gf [N, C]."""
-    N = gf.shape[0]
+    """Sorted-segment-sum d_flat [HW, C]: rows/wts [4, N], gf [N, C].
+
+    The f32 cumsum over [4N, C] is the peak transient (786 MB at C=640,
+    N=76.8k); channels are processed in chunks that keep it under
+    _SEG_CUM_BYTES, with the sort/searchsorted hoisted out (C-independent)."""
+    N, C = gf.shape
     keys = rows.reshape(-1)                       # [4N]
     perm = jnp.argsort(keys)
     keys_s = jnp.take(keys, perm)
     w_s = jnp.take(wts.reshape(-1), perm)
-    gvals = jnp.take(gf, perm % N, axis=0) * w_s[:, None]
-    cum = jnp.cumsum(gvals.astype(jnp.float32), axis=0)
-    cum = jnp.concatenate([jnp.zeros((1,) + cum.shape[1:], cum.dtype), cum])
+    gvals = jnp.take(gf, perm % N, axis=0) * w_s[:, None]   # [4N, C]
     r = jnp.arange(HW, dtype=keys_s.dtype)
     starts = jnp.searchsorted(keys_s, r)
     ends = jnp.searchsorted(keys_s, r + 1)
-    return (jnp.take(cum, ends, axis=0)
-            - jnp.take(cum, starts, axis=0)).astype(gf.dtype)
+
+    c_chunk = max(1, min(C, _SEG_CUM_BYTES // (4 * (4 * N + 1))))
+    while C % c_chunk:
+        c_chunk -= 1
+
+    def seg_chunk(gv):  # [4N, c_chunk] -> [HW, c_chunk]
+        cum = jnp.cumsum(gv.astype(jnp.float32), axis=0)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,) + cum.shape[1:], cum.dtype), cum])
+        return jnp.take(cum, ends, axis=0) - jnp.take(cum, starts, axis=0)
+
+    if c_chunk == C:
+        out = seg_chunk(gvals)
+    else:
+        chunks = jnp.moveaxis(
+            gvals.reshape(4 * N, C // c_chunk, c_chunk), 1, 0)
+        # [n_chunks, HW, c_chunk] -> [HW, n_chunks * c_chunk] == [HW, C]
+        out = jnp.moveaxis(jax.lax.map(seg_chunk, chunks), 0, 1).reshape(HW, C)
+    return out.astype(gf.dtype)
 
 
 @jax.custom_vjp

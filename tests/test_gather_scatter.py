@@ -165,6 +165,24 @@ def test_seg_d_flat_heavy_duplicates(rng):
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
 
 
+def test_seg_c_chunking_matches_whole(rng):
+    """The C-chunked cumsum path (memory cap) equals the single-shot path."""
+    from scenerf_tpu.ops import gather_scatter as gs
+
+    N, C, HW = 500, 12, 64
+    rows = jnp.asarray(rng.integers(0, HW, (4, N)), jnp.int32)
+    wts = jnp.asarray(rng.uniform(0, 1, (4, N)).astype(np.float32))
+    gf = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    whole = np.asarray(gs._seg_d_flat(rows, wts, gf, HW))
+    old = gs._SEG_CUM_BYTES
+    gs._SEG_CUM_BYTES = 4 * (4 * N + 1) * 4  # force c_chunk = 4
+    try:
+        chunked = np.asarray(gs._seg_d_flat(rows, wts, gf, HW))
+    finally:
+        gs._SEG_CUM_BYTES = old
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-6)
+
+
 def test_mm_bwd_n_block_padding(rng):
     """N not divisible by the scan block still yields exact grads (padded
     rows carry weight 0 and row -1, matching no output row)."""
