@@ -152,6 +152,13 @@ class SceneRFConfig:
                                        # 4x300M at 4 sources) for a ~5-10 ms
                                        # gather+matmul recompute in backward.
                                        # Bit-identical outputs/grads
+    resample_gather: str = "taps"      # U-Net sphere RESAMPLER bilinear impl
+                                       # (encoder->sphere grid, N ~= 678k
+                                       # points/level): "taps" | "win2" |
+                                       # "mm" | "mmseg". Stays "taps": its
+                                       # backward scatters are small-C image
+                                       # maps (~10 ms/step) while a seg sort
+                                       # there would rank 4x678k keys
     featurize_gather: str = "taps"     # "taps" | "win2" | "mm": pyramid
                                        # bilinear sampling as 4 row-gathers
                                        # (autodiff scatter-add backward),

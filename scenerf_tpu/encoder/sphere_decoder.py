@@ -205,7 +205,7 @@ class DecoderSphere(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     remat: bool = True  # checkpoint each UpSampleBN: trades recompute for HBM
-    gather_impl: str = "taps"   # bilinear resample impl: "taps" | "win2"
+    gather_impl: str = "taps"   # bilinear resample impl (config.resample_gather)
                                 # (shared with rendering.featurize_points --
                                 # see ops/gather_scatter.py)
     conv_impl: str = "conv"     # "conv" (nn.Conv) | "taps" (im2col matmul,

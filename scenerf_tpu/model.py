@@ -64,7 +64,7 @@ class SceneRF:
             remat=cfg.remat_encoder,
             remat_decoder=cfg.remat_decoder,
             conv_impl=cfg.decoder_conv,
-            gather_impl=cfg.featurize_gather,
+            gather_impl=cfg.resample_gather,
         )
         self.d_latent = decoder_latent_dim(cfg.encoder_features)
         self.mlp = ResnetFC(d_out=4, n_blocks=cfg.n_blocks, d_hidden=cfg.d_hidden,
