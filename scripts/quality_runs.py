@@ -149,11 +149,15 @@ def main():
         "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
         # 8-source arms: the render is a lax.scan over sources (constant
         # memory), so the only cost of more sources is step time -- probe
-        # the far end of the encoder-amortization curve. Same config as the
-        # throughput probe (encoder remat); val metrics come from the small
-        # depth-eval-only program, so no remat_field workaround is needed
-        "bf16x8": make_cfg("bfloat16", 8),
-        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True),
+        # the far end of the encoder-amortization curve. The 8-src train
+        # program does NOT fit with encoder-only remat (round-5 probes:
+        # compile RESOURCE_EXHAUSTED; round 4 measured the same) -- these
+        # arms need full enc+dec remat, the round-4 throughput-probe config
+        # (1,476.8 ms serial). Remat placement is bit-identical math (split
+        # parity test in tests/test_model.py), so quality transfers.
+        "bf16x8": make_cfg("bfloat16", 8).replace(remat_decoder=True),
+        "f32x8": make_cfg("float32", 8).replace(remat_encoder=True,
+                                                remat_decoder=True),
     }
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
