@@ -4,6 +4,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional, Tuple
 
+import click
 import jax
 import numpy as np
 
@@ -13,6 +14,18 @@ from scenerf_tpu.train import Trainer, TrainState
 from scenerf_tpu.parallel.mesh import make_mesh
 from scenerf_tpu.utils.checkpoint import CheckpointManager
 from scenerf_tpu.utils.jax_setup import setup_compilation_cache
+
+
+class SetupCommand(click.Command):
+    """click.Command that applies process-level JAX setup before the command
+    body runs. Every console script uses it so JAX_PLATFORMS=cpu is honored
+    even for commands that never load a model (this image's sitecustomize
+    preloads the `axon` TPU plugin, which otherwise wins the backend race and
+    blocks on the device claim — e.g. generate-sc-gt-bf fusing GT depth)."""
+
+    def invoke(self, ctx):
+        setup_compilation_cache()
+        return super().invoke(ctx)
 
 
 def load_model(model_path: str, which: str = "best",

@@ -211,7 +211,7 @@ def _bf_val_ds(root, frame_interval=2, n_frames=16):
                                n_frames=n_frames, seed=0)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @_add_opts(_kitti_opts)
 @click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
 def save_depth_metrics(root, preprocess_root, model_path, eval_save_dir,
@@ -223,7 +223,7 @@ def save_depth_metrics(root, preprocess_root, model_path, eval_save_dir,
                              n_devices=n_devices)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--model_path", default="")
 @click.option("--eval_save_dir", default="")
@@ -238,7 +238,7 @@ def save_depth_metrics_bf(root, model_path, eval_save_dir, frame_interval,
                              n_devices=n_devices)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--eval_save_dir", default="")
 def agg_depth_metrics(eval_save_dir):
     """Aggregate per-frame depth-error pickles into the per-distance table
@@ -246,7 +246,7 @@ def agg_depth_metrics(eval_save_dir):
     _agg_depth_metrics_impl(eval_save_dir, ["08"])
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--eval_save_dir", default="")
 def agg_depth_metrics_bf(eval_save_dir):
     """BundleFusion variant (ref evaluation/agg_depth_metrics_bf.py)."""
@@ -310,7 +310,7 @@ def _render_colors_impl(dataset, model_path, eval_save_dir, stride, chunk,
             print("Color saved", render_filepath)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @_add_opts(_kitti_opts)
 @click.option("--n_devices", default=0, help="devices to shard eval renders over (0=all)")
 def render_colors(root, preprocess_root, model_path, eval_save_dir,
@@ -328,7 +328,7 @@ def render_colors(root, preprocess_root, model_path, eval_save_dir,
                         source_image_saver=save_src, n_devices=n_devices)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--model_path", default="")
 @click.option("--eval_save_dir", default="")
@@ -398,7 +398,7 @@ def _eval_color_impl(eval_save_dir, sequence, resize, skip_frames=(),
     return psnr_a, ssim_a, lpips_a, cnt_a
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--eval_save_dir", default="")
 @click.option("--lpips_weights", default="",
               help="converted lpips npz (scripts/convert_lpips_weights.py)")
@@ -414,7 +414,7 @@ def eval_color(eval_save_dir, lpips_weights, lpips_vgg_path, lpips_lin_path):
                      skip_frames=VAL_ERROR_FRAMES, lpips_weights=weights)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--eval_save_dir", default="")
 @click.option("--lpips_weights", default="",
               help="converted lpips npz (scripts/convert_lpips_weights.py)")
@@ -435,7 +435,7 @@ def eval_color_bf(eval_save_dir, lpips_weights, lpips_vgg_path, lpips_lin_path):
 # --------------------------------------------------------------------------- #
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @_add_opts(_kitti_opts)
 @click.option("--recon_save_dir", default="")
 def eval_sr(root, preprocess_root, model_path, eval_save_dir,
@@ -473,7 +473,7 @@ def eval_sr(root, preprocess_root, model_path, eval_save_dir,
     return metric.get_stats(), fov_metric.get_stats()
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--recon_save_dir", default="")
 @click.option("--frame_interval", default=2)

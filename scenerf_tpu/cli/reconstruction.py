@@ -99,7 +99,7 @@ def _generate_novel_depths_impl(dataset, model_path, recon_save_dir, scale,
         print(f"saved sweep for frame {frame_id} ({len(names)} poses)")
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @_add_opts(_kitti_opts)
 @click.option("--recon_save_dir", default="")
 @click.option("--scale", default=2, help="render stride")
@@ -119,7 +119,7 @@ def generate_novel_depths(root, preprocess_root, model_path, eval_save_dir,
                                 n_devices=n_devices)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--model_path", default="")
 @click.option("--recon_save_dir", default="")
@@ -169,7 +169,7 @@ def _load_sweep_frames(recon_save_dir, sequence, frame_id, rel_poses):
     return depths, colors, poses
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @_add_opts(_kitti_opts)
 @click.option("--recon_save_dir", default="")
 @click.option("--angle", default=10.0)
@@ -213,7 +213,7 @@ def depth2tsdf(root, preprocess_root, model_path, eval_save_dir,
         print("saved to", tsdf_path)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--recon_save_dir", default="")
 @click.option("--angle", default=30.0)
@@ -262,7 +262,7 @@ def depth2tsdf_bf(root, recon_save_dir, angle, step, max_distance,
         print("wrote to", tsdf_path)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="")
 @click.option("--recon_save_dir", default="")
 @click.option("--frame_interval", default=2)
@@ -290,10 +290,11 @@ def generate_sc_gt_bf(root, recon_save_dir, frame_interval, n_frames):
 
         depths, colors, poses = [], [], []
         for sid in range(len(item["img_sources"])):
-            depth = item["source_depths"][sid]
-            if depth.shape != (480, 640):
-                depth = _upsample_to(depth, (480, 640))
-            depths.append(depth)
+            # fuse at the depth map's native resolution: the reference
+            # interpolates to (480, 640) (ref generate_sc_gt_bf.py:78), a
+            # no-op at the dataset's native size, and cam_K_depth is
+            # calibrated for that native size
+            depths.append(item["source_depths"][sid])
             colors.append(item["img_sources"][sid] * 255.0)
             poses.append(item["T_source2infers"][sid])
         vol.integrate_frames(np.stack(colors), np.stack(depths),
@@ -306,7 +307,7 @@ def generate_sc_gt_bf(root, recon_save_dir, frame_interval, n_frames):
         print("wrote to", gt_path)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--img_w", default=1220)
 @click.option("--img_h", default=370)
 @click.option("--fx", default=707.0912)

@@ -20,6 +20,7 @@ from scenerf_tpu.data.loader import DataLoader
 from scenerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from scenerf_tpu.train import Trainer
 from scenerf_tpu.utils.checkpoint import CheckpointManager
+from scenerf_tpu.cli import common
 from scenerf_tpu.utils.jax_setup import setup_compilation_cache
 from scenerf_tpu.utils.logging_utils import MetricLogger
 
@@ -141,7 +142,7 @@ def run_training(
     return state
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="", help="path to dataset folder")
 @click.option("--preprocess_root", default="", help="path to preprocess folder")
 @click.option("--logdir", default="", help="log/checkpoint directory")
@@ -165,6 +166,9 @@ def run_training(
 @click.option("--sphere_h", default=452)
 @click.option("--som_sigma", default=2.0)
 @click.option("--max_sample_depth", default=100.0)
+@click.option("--eval_depth", default=80.0, help="cap depth for evaluation")
+@click.option("--use_color", default=True, type=bool)
+@click.option("--use_reprojection", default=True, type=bool)
 @click.option("--encoder", default="effnet-b7")
 @click.option("--exp_prefix", default="exp")
 @click.option("--compute_dtype", default="float32")
@@ -179,7 +183,8 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
                 weight_decay, n_epochs, enable_log, sequence_distance,
                 frames_interval, n_gaussians, n_pts_per_gaussian, n_pts_uni,
                 n_gt_depth, std, add_fov_hor, add_fov_ver, sphere_w, sphere_h,
-                som_sigma, max_sample_depth, encoder, exp_prefix, compute_dtype,
+                som_sigma, max_sample_depth, eval_depth, use_color,
+                use_reprojection, encoder, exp_prefix, compute_dtype,
                 max_steps_per_epoch, sequences, val_sequences, parallel_mode):
     """Train SceneRF on SemanticKITTI (ref scenerf/scripts/train_kitti.py)."""
     from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
@@ -188,8 +193,9 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
         n_rays=n_rays, n_sources=n_sources, lr=lr, weight_decay=weight_decay,
         n_gaussians=n_gaussians, n_pts_per_gaussian=n_pts_per_gaussian,
         n_pts_uni=n_pts_uni, std=std, som_sigma=som_sigma,
-        max_sample_depth=max_sample_depth, encoder=encoder,
-        n_gt_depth=n_gt_depth, compute_dtype=compute_dtype,
+        max_sample_depth=max_sample_depth, eval_depth=eval_depth,
+        use_color=use_color, use_reprojection=use_reprojection,
+        encoder=encoder, n_gt_depth=n_gt_depth, compute_dtype=compute_dtype,
     )
     cfg = cfg.replace(sphere=cfg.sphere.__class__(
         width=sphere_w, height=sphere_h,
@@ -218,7 +224,7 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
                  parallel_mode=parallel_mode)
 
 
-@click.command()
+@click.command(cls=common.SetupCommand)
 @click.option("--root", default="", help="path to bundlefusion folder")
 @click.option("--logdir", default="")
 @click.option("--bs", default=1)
@@ -237,7 +243,21 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
 @click.option("--std", default=0.2)
 @click.option("--som_sigma", default=0.02)
 @click.option("--sample_grid_size", default=2)
+@click.option("--sampling_method", default="uniform",
+              type=click.Choice(["uniform", "log"]))
+@click.option("--max_sample_depth", default=12.0)
+@click.option("--eval_depth", default=10.0, help="cap depth for evaluation")
+@click.option("--add_fov_hor", default=14.0)
+@click.option("--add_fov_ver", default=11.0)
+@click.option("--sphere_w", default=960)
+@click.option("--sphere_h", default=720)
+@click.option("--use_color", default=True, type=bool)
+@click.option("--use_reprojection", default=True, type=bool)
+@click.option("--img_w", default=640, help="input width (smoke runs shrink it)")
+@click.option("--img_h", default=480, help="input height (smoke runs shrink it)")
 @click.option("--encoder", default="effnet-b7")
+@click.option("--encoder_features", default=2560,
+              help="bottleneck channels (matches --encoder)")
 @click.option("--exp_prefix", default="exp")
 @click.option("--compute_dtype", default="float32")
 @click.option("--max_steps_per_epoch", default=None, type=int)
@@ -246,9 +266,14 @@ def train_kitti(root, preprocess_root, logdir, bs, n_rays, n_sources, lr,
 def train_bundlefusion(root, logdir, bs, n_rays, n_sources, lr, weight_decay,
                        n_epochs, enable_log, frame_interval, n_frames,
                        n_gaussians, n_pts_per_gaussian, n_pts_uni, n_gt_depth,
-                       std, som_sigma, sample_grid_size, encoder, exp_prefix,
+                       std, som_sigma, sample_grid_size, sampling_method,
+                       max_sample_depth, eval_depth, add_fov_hor, add_fov_ver,
+                       sphere_w, sphere_h, use_color, use_reprojection,
+                       img_w, img_h, encoder, encoder_features, exp_prefix,
                        compute_dtype, max_steps_per_epoch, parallel_mode):
     """Train SceneRF on BundleFusion (ref scenerf/scripts/train_bundlefusion.py)."""
+    import dataclasses
+
     from scenerf_tpu.data.bundlefusion import BundlefusionDataset, to_model_batch
 
     cfg = CFG.bundlefusion(
@@ -256,8 +281,16 @@ def train_bundlefusion(root, logdir, bs, n_rays, n_sources, lr, weight_decay,
         n_gaussians=n_gaussians, n_pts_per_gaussian=n_pts_per_gaussian,
         n_pts_uni=n_pts_uni, std=std, som_sigma=som_sigma, encoder=encoder,
         n_gt_depth=n_gt_depth, sample_grid_size=sample_grid_size,
-        compute_dtype=compute_dtype,
+        sampling_method=sampling_method, max_sample_depth=max_sample_depth,
+        eval_depth=eval_depth, use_color=use_color,
+        use_reprojection=use_reprojection, img_size=(img_w, img_h),
+        encoder_features=encoder_features, compute_dtype=compute_dtype,
     )
+    # keep the BF-calibrated base angles; only the grid + FOV margins are flags
+    # (ref train_bundlefusion.py:44-48)
+    cfg = cfg.replace(sphere=dataclasses.replace(
+        cfg.sphere, width=sphere_w, height=sphere_h,
+        add_fov_hor=add_fov_hor, add_fov_ver=add_fov_ver))
     exp_name = (f"{exp_prefix}_bf_rays{n_rays}_gauss{n_gaussians}x"
                 f"{n_pts_per_gaussian}_std{std}_sigma{som_sigma}")
     print("exp_name:", exp_name)
