@@ -151,14 +151,18 @@ class TSDFVolume:
 
     def __init__(self, vol_bnds, voxel_size: float, trunc_margin: float = 10.0,
                  mode: str = "closest"):
-        vol_bnds = np.asarray(vol_bnds, dtype=np.float32)
-        assert vol_bnds.shape == (3, 2)
+        vol_bnds64 = np.asarray(vol_bnds, dtype=np.float64)
+        assert vol_bnds64.shape == (3, 2)
         self._voxel_size = float(voxel_size)
         self._trunc_margin = float(trunc_margin)
         self.mode = mode
+        # dims from the float64 caller bounds: casting to f32 first turns
+        # 4.8/0.04 into 120.00001 -> ceil 121, off-by-one vs the reference's
+        # 120x120x96 BF / 256x256x32 KITTI grids (ref fusion.py:39)
         self._vol_dim = np.ceil(
-            (vol_bnds[:, 1] - vol_bnds[:, 0]) / self._voxel_size
+            (vol_bnds64[:, 1] - vol_bnds64[:, 0]) / self._voxel_size
         ).astype(int)
+        vol_bnds = vol_bnds64.astype(np.float32)
         vol_bnds[:, 1] = vol_bnds[:, 0] + self._vol_dim * self._voxel_size
         self._vol_origin = vol_bnds[:, 0].copy()
         self._vol_bnds = vol_bnds
