@@ -105,6 +105,7 @@ class Trainer:
         self._train_step = self._build_step(train=True)
         self._val_step = self._build_step(train=False)
         self._depth_eval_step = None  # built lazily on first depth_eval_step()
+        self._train_val_step = None   # built lazily on first train_step_with_val()
 
     # ------------------------------------------------------------------ state
     def create_state(self, key: jax.Array) -> TrainState:
@@ -125,8 +126,11 @@ class Trainer:
         return replicate(state, self.mesh)
 
     # ------------------------------------------------------------------ steps
-    def _build_step(self, train: bool, with_losses: bool = True,
-                    with_depth_eval: Optional[bool] = None):
+    def _make_per_shard(self, train: bool, with_losses: bool = True,
+                        with_depth_eval: Optional[bool] = None):
+        """The pure per-device step body: (state, batch, key, sphere_maps) ->
+        (state, metrics). Shared by the standalone steps (_build_step) and the
+        fused train+val program (_build_step_with_val)."""
         model, tx, cfg = self.model, self.tx, self.cfg
         if with_depth_eval is None:
             with_depth_eval = self.with_depth_eval
@@ -182,16 +186,63 @@ class Trainer:
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
             return state, metrics
 
-        batch_spec = P() if (self.ray_parallel or self.ray_shard) \
-            else P(DATA_AXIS)
+        return per_shard
+
+    def _batch_spec(self):
+        return P() if (self.ray_parallel or self.ray_shard) else P(DATA_AXIS)
+
+    def _build_step(self, train: bool, with_losses: bool = True,
+                    with_depth_eval: Optional[bool] = None):
+        per_shard = self._make_per_shard(train, with_losses, with_depth_eval)
         fn = shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(), batch_spec, P(), P()),
+            in_specs=(P(), self._batch_spec(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,) if train else ())
+
+    def _build_step_with_val(self):
+        """ONE program: the train step plus a lax.cond-gated GT-depth eval on a
+        separate val batch. XLA reuses a program's temp buffers across its ops,
+        so peak HBM stays at the train step's own peak -- whereas a separately
+        loaded depth-eval executable statically reserves its own temps on TPU
+        and cannot co-reside with the 8-source train program (the round-4/5
+        quality-arm OOM). The val half reads the POST-update params, i.e.
+        metrics are "val after step N", matching the old two-program protocol.
+        """
+        from scenerf_tpu import losses as L
+
+        train_ps = self._make_per_shard(train=True)
+        val_ps = self._make_per_shard(train=False, with_losses=False,
+                                      with_depth_eval=True)
+        val_keys = tuple(f"depth/{k}" for k in L.DEPTH_METRIC_NAMES) \
+            + ("total_loss",)
+
+        def per_shard(state, batch, key, val_batch, val_key, do_val,
+                      sphere_maps):
+            state, metrics = train_ps(state, batch, key, sphere_maps)
+
+            def run(_):
+                _, vm = val_ps(state, val_batch, val_key, sphere_maps)
+                return {k: vm[k] for k in val_keys}
+
+            def skip(_):
+                return {k: jnp.zeros(()) for k in val_keys}
+
+            val_metrics = jax.lax.cond(do_val, run, skip, None)
+            return state, metrics, val_metrics
+
+        bs = self._batch_spec()
+        fn = shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(), bs, P(), bs, P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------- step APIs
     def _sphere_maps_for(self, batch) -> Dict[int, Any]:
@@ -232,3 +283,23 @@ class Trainer:
             sphere_maps = self._sphere_maps_for(batch)
         _, metrics = self._depth_eval_step(state, batch, key, sphere_maps)
         return metrics
+
+    def train_step_with_val(self, state: TrainState, batch, key, val_batch,
+                            val_key, do_val,
+                            sphere_maps=None) -> Tuple[TrainState, Dict, Dict]:
+        """Fused train + conditional val-depth-eval step (one resident TPU
+        program -- see _build_step_with_val). `do_val` is a traced bool: when
+        False the val render is skipped at runtime (lax.cond) and the val
+        metrics come back as zeros. val_batch may stack several val items
+        (B_val > 1 runs under the model's constant-memory lax.map) but must
+        share the train batch's intrinsics (sphere maps are keyed on cam_K);
+        its img_sources/img_targets are never read (no loss render), so
+        callers can pass [B, S, 1, 1, 3] zero stubs to keep HBM flat.
+
+        Returns (new_state, train_metrics, val_metrics)."""
+        if self._train_val_step is None:
+            self._train_val_step = self._build_step_with_val()
+        if sphere_maps is None:
+            sphere_maps = self._sphere_maps_for(batch)
+        return self._train_val_step(state, batch, key, val_batch, val_key,
+                                    jnp.asarray(do_val), sphere_maps)

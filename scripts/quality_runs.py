@@ -39,7 +39,7 @@ def write_val_voxel_anchors(root: str, sequence: str = "08", n: int = 40):
             f"{vox_dir}/{i:06d}.bin")
 
 
-def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
+def run_one(tag, cfg, root, prep, steps, val_every, seed=42, fused=False):
     import jax
 
     from scenerf_tpu.data.kitti import KittiDataset, to_model_batch
@@ -51,9 +51,14 @@ def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
     trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
                       with_depth_eval=False)
     state = trainer.create_state(jax.random.PRNGKey(seed))
-    # val metrics come from the depth-eval-only program (no loss renders):
-    # it co-fits in HBM beside even the 8-source train program, unlike the
-    # full val forward that OOMed the round-4 8-src quality arms
+    # fused=False: val metrics come from the depth-eval-only program (no loss
+    # renders). On TPU every loaded executable statically reserves its own
+    # temp HBM, and even that smaller program cannot co-reside with the
+    # 8-source train program (round-5 r5b_queue log: RESOURCE_EXHAUSTED on the
+    # first train step after a green step-0 val). fused=True instead runs the
+    # val render INSIDE the train program behind lax.cond
+    # (train.train_step_with_val): one executable, temps reused, peak HBM =
+    # the train step alone (parity: tests/test_train.py).
 
     train_ds = KittiDataset("train", root, prep, sequence_distance=10.0,
                             frames_interval=0.4, n_sources=cfg.n_sources,
@@ -64,8 +69,20 @@ def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
     collate = lambda items: to_model_batch(items, cfg)
     loader = DataLoader(train_ds, collate, batch_size=1, shuffle=True,
                         seed=seed)
-    val_batches = [shard_batch(collate([val_ds[i]]), mesh)
-                   for i in range(min(4, len(val_ds)))]
+    n_val = min(4, len(val_ds))
+    if fused:
+        # ONE stacked val batch (lax.map keeps memory constant in B_val) with
+        # the never-read source/target images stubbed out to keep HBM flat
+        vb = {k: np.concatenate([collate([val_ds[i]])[k] for i in range(n_val)])
+              for k in collate([val_ds[0]])}
+        B, S = vb["source_mask"].shape
+        vb["img_sources"] = np.zeros((B, S, 1, 1, 3), np.float32)
+        vb["img_targets"] = np.zeros((B, S, 1, 1, 3), np.float32)
+        val_stack = shard_batch(vb, mesh)
+        val_key = jax.random.PRNGKey(1000)
+    else:
+        val_batches = [shard_batch(collate([val_ds[i]]), mesh)
+                       for i in range(n_val)]
     print(f"[{tag}] train scans={len(train_ds)} val scans={len(val_ds)}",
           flush=True)
 
@@ -82,29 +99,40 @@ def run_one(tag, cfg, root, prep, steps, val_every, seed=42):
     step = 0
     t0 = time.time()
     it = iter(loader)
-    v0 = run_val(state)
-    hist["steps"].append(0)
-    hist["val_abs_rel"].append(v0["depth/abs_rel"])
-    hist["val_rmse"].append(v0["depth/rmse"])
-    hist["train_loss"].append(float("nan"))
-    print(f"[{tag}] step 0 val abs_rel {v0['depth/abs_rel']:.4f}", flush=True)
+    if not fused:
+        # the fused arms skip the step-0 val: a val-only call would need a
+        # second resident program, which is exactly what OOMs at 8 sources
+        v0 = run_val(state)
+        hist["steps"].append(0)
+        hist["val_abs_rel"].append(v0["depth/abs_rel"])
+        hist["val_rmse"].append(v0["depth/rmse"])
+        hist["train_loss"].append(float("nan"))
+        print(f"[{tag}] step 0 val abs_rel {v0['depth/abs_rel']:.4f}",
+              flush=True)
     while step < steps:
         try:
             batch = next(it)
         except StopIteration:
             it = iter(loader)
             continue
-        state, metrics = trainer.train_step(state, shard_batch(batch, mesh), key)
+        do_val = (step + 1) % val_every == 0 or (step + 1) == steps
+        if fused:
+            state, metrics, vm = trainer.train_step_with_val(
+                state, shard_batch(batch, mesh), key, val_stack, val_key,
+                do_val=do_val)
+        else:
+            state, metrics = trainer.train_step(
+                state, shard_batch(batch, mesh), key)
         step += 1
-        if step % val_every == 0 or step == steps:
-            v = run_val(state)
+        if do_val:
+            v = jax.device_get(vm) if fused else run_val(state)
             loss = float(np.asarray(metrics["total_loss"]))
             hist["steps"].append(step)
-            hist["val_abs_rel"].append(v["depth/abs_rel"])
-            hist["val_rmse"].append(v["depth/rmse"])
+            hist["val_abs_rel"].append(float(v["depth/abs_rel"]))
+            hist["val_rmse"].append(float(v["depth/rmse"]))
             hist["train_loss"].append(loss)
             print(f"[{tag}] step {step} loss {loss:.4f} "
-                  f"val abs_rel {v['depth/abs_rel']:.4f} "
+                  f"val abs_rel {float(v['depth/abs_rel']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
     hist["wall_s"] = round(time.time() - t0, 1)
     return hist
@@ -164,8 +192,11 @@ def main():
     for tag in args.configs.split(","):
         for seed in seeds:
             k = tag if len(seeds) == 1 else f"{tag}@s{seed}"
+            # 8-source arms: ONE fused train+val program (two co-resident
+            # programs OOM at 8 sources; see run_one)
             results[k] = run_one(k, grid[tag], args.root, args.prep,
-                                 args.steps, args.val_every, seed=seed)
+                                 args.steps, args.val_every, seed=seed,
+                                 fused=tag.endswith("x8"))
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
             print(f"wrote {args.out}", flush=True)

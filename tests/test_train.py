@@ -67,6 +67,55 @@ def test_depth_eval_step_matches_val_step(cfg):
                                       np.asarray(depth_only[k]), err_msg=k)
 
 
+def test_train_step_with_val_matches_two_program_path(cfg):
+    """The fused train+val program (one resident TPU executable, built so the
+    8-source quality arms stop OOMing on two co-loaded programs) must match
+    the two-program protocol: identical train step, and val metrics equal to
+    depth_eval_step on the post-update state with the same key. The val
+    batch's img_sources/img_targets are never read, so the fused path gets
+    [B, S, 1, 1, 3] zero stubs and must still agree."""
+    mesh = make_mesh(jax.devices()[:2])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=10,
+                      with_depth_eval=False)
+    batch = shard_batch(make_batch(cfg, batch_size=2), mesh)
+    val_np = make_batch(cfg, batch_size=2, seed=7)
+    B, S = val_np["source_mask"].shape
+    val_slim = dict(val_np,
+                    img_sources=np.zeros((B, S, 1, 1, 3), np.float32),
+                    img_targets=np.zeros((B, S, 1, 1, 3), np.float32))
+    val_full = shard_batch(val_np, mesh)
+    val_slim = shard_batch(val_slim, mesh)
+    key, vkey = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    sA = trainer.create_state(jax.random.PRNGKey(0))
+    sA, mA = trainer.train_step(sA, batch, key)
+    vmA = trainer.depth_eval_step(sA, val_full, vkey)
+
+    sB = trainer.create_state(jax.random.PRNGKey(0))
+    sB, mB, vmB = trainer.train_step_with_val(sB, batch, key, val_slim, vkey,
+                                              do_val=True)
+    assert int(sB.step) == 1
+    for k in mA:
+        np.testing.assert_allclose(np.asarray(mB[k]), np.asarray(mA[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    assert set(vmB) == set(vmA)
+    for k in vmA:
+        np.testing.assert_allclose(np.asarray(vmB[k]), np.asarray(vmA[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    for pa, pb in zip(jax.tree_util.tree_leaves(sA.params),
+                      jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                                   rtol=1e-6, atol=1e-7)
+
+    # do_val=False: same train step, zeroed val metrics, no val compute
+    sC = trainer.create_state(jax.random.PRNGKey(0))
+    sC, mC, vmC = trainer.train_step_with_val(sC, batch, key, val_slim, vkey,
+                                              do_val=False)
+    np.testing.assert_allclose(np.asarray(mC["total_loss"]),
+                               np.asarray(mA["total_loss"]), rtol=1e-6)
+    assert all(float(v) == 0.0 for v in vmC.values())
+
+
 def test_sharded_matches_single_device(cfg):
     """Gradient/loss parity: 4-device sharded step == 1-device step on the same
     global batch. Per-device RNG folding is part of both runs (the 1-device
