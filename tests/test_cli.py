@@ -17,6 +17,33 @@ def test_cli_imports():
     assert callable(reconstruction.depth2tsdf)
 
 
+def test_every_console_script_applies_jax_setup():
+    """Every click command behind a console script must be a SetupCommand:
+    this image's sitecustomize preloads the axon TPU plugin, and a command
+    that forgets the process-level setup silently claims the real device
+    even under JAX_PLATFORMS=cpu (bit us in round 5: generate-sc-gt-bf hung
+    on the device grant)."""
+    from importlib import import_module
+
+    from scenerf_tpu.cli.common import SetupCommand
+
+    # parse entry_points from setup.py's console_scripts list (do NOT import
+    # setup.py -- that would execute setuptools.setup())
+    spec = []
+    with open(os.path.join(os.path.dirname(__file__), "..", "setup.py")) as f:
+        for line in f:
+            line = line.strip().strip('",')
+            if "=" in line and line.startswith("scenerf-"):
+                spec.append(line)
+    assert len(spec) >= 18, spec
+    for entry in spec:
+        name, target = entry.split("=", 1)
+        mod_name, func_name = target.split(":")
+        cmd = getattr(import_module(mod_name), func_name)
+        assert isinstance(cmd, SetupCommand), \
+            f"{name.strip()} ({target}) does not apply process-level JAX setup"
+
+
 def test_determine_angles_cli():
     from scenerf_tpu.cli.reconstruction import determine_angles
     result = CliRunner().invoke(determine_angles, [])
