@@ -182,6 +182,14 @@ class SceneRFConfig:
                                        # concat is bandwidth-bound. conv is
                                        # the decided default; taps/taps3 kept
                                        # as parity-tested alternates
+    source_unroll: int = 1             # lax.scan unroll factor for the
+                                       # per-source loop (model.scan_sources).
+                                       # Semantically identical to unroll=1;
+                                       # >1 gives XLA cross-source scheduling
+                                       # freedom (can overlap one source's
+                                       # serialized featurize-backward
+                                       # scatters with another's MXU work) at
+                                       # the cost of a bigger program
 
     # ---------------------------------------------------------------- helpers
     @property

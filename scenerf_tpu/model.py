@@ -352,7 +352,9 @@ class SceneRF:
             if with_depth_eval:
                 res_keys += [f"depth/{k}" for k in L.DEPTH_METRIC_NAMES]
             init = {k: jnp.zeros(()) for k in res_keys}
-            total, _ = jax.lax.scan(body, init, (src_stack, keys))
+            unroll = max(1, min(int(getattr(cfg, "source_unroll", 1)), S_n))
+            total, _ = jax.lax.scan(body, init, (src_stack, keys),
+                                    unroll=unroll)
             return total
 
         item_keys = jax.random.split(key, B)

@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--remat_decoder", default=None, choices=["0", "1"],
                     help="decouple decoder remat from --remat_encoder")
     ap.add_argument("--remat_field", action="store_true")
+    ap.add_argument("--source_unroll", type=int, default=1)
     args = ap.parse_args()
     remat_decoder = None if args.remat_decoder is None else args.remat_decoder == "1"
     if isinstance(args.remat_encoder, str):
@@ -41,11 +42,13 @@ def main():
                   remat_decoder=remat_decoder,
                   remat_field=args.remat_field,
                   decoder_conv=args.decoder_conv,
-                  featurize_gather=args.featurize_gather)
+                  featurize_gather=args.featurize_gather,
+                  source_unroll=args.source_unroll)
     print(f"[probe] decoder_conv={args.decoder_conv} "
           f"featurize_gather={args.featurize_gather} sources={args.sources} "
           f"remat_encoder={args.remat_encoder} "
           f"remat_decoder={remat_decoder} remat_field={args.remat_field} "
+          f"source_unroll={args.source_unroll} "
           f"backend={jax.default_backend()}", flush=True)
 
     mesh = make_mesh(jax.devices()[:1])

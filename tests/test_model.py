@@ -137,6 +137,30 @@ def test_render_image(setup):
     assert np.isfinite(np.asarray(out["depth"])).all()
 
 
+def test_source_unroll_is_identical(setup):
+    """lax.scan unroll over the source loop is pure scheduling freedom: loss
+    and grads must be bit-comparable to the unroll=1 program."""
+    cfg, model, variables, batch = setup
+    key = jax.random.PRNGKey(5)
+
+    def loss_and_grads(c):
+        m = SceneRF(c)
+
+        def loss_fn(v):
+            loss, _, _ = m.forward(v, batch, key, train=False)
+            return loss
+
+        return jax.value_and_grad(loss_fn)(variables)
+
+    base_l, base_g = loss_and_grads(cfg)  # source_unroll=1
+    l, g = loss_and_grads(cfg.replace(source_unroll=max(2, cfg.n_sources)))
+    np.testing.assert_allclose(float(l), float(base_l), rtol=1e-6, atol=1e-7)
+    for (pa, a), (pb, b) in zip(jax.tree_util.tree_leaves_with_path(base_g),
+                                jax.tree_util.tree_leaves_with_path(g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+
 def test_remat_decoder_split_is_identical(setup):
     """remat placement (coupled vs decoder-only vs encoder-only) is a pure
     memory/replay trade: loss and grads must match across the splits."""
