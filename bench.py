@@ -8,7 +8,11 @@ the extra keys make the number auditable (VERDICT r2 item 3):
   value_1src           -- 1-source rays/s/chip
   mfu                  -- hardware FLOP utilization of the flagship step:
                           compiled-program FLOPs (XLA cost analysis) / step
-                          time / chip peak bf16 FLOP/s. The 4-source flagship
+                          time / chip peak bf16 FLOP/s. For unrolled rungs
+                          (source_unroll>1) the program executes duplicated
+                          recompute FLOPs, so mfu_model additionally reports
+                          the rolled program's FLOPs over the same step time
+                          (useful-work utilization). The 4-source flagship
                           runs with encoder-only remat (no-remat 4-src exceeds
                           the 16G HBM by 191 MB -- docs/PERF.md), and the B7
                           encoder replay is only ~0.10 TF of the 13.20 TF
@@ -25,7 +29,7 @@ Workload: the reference's published KITTI training config (EfficientNet-B7
 spherical U-Net at 1220x370, sphere 1500x452, 1200 rays x 64 PrSamp samples,
 bs=1/chip -- ref README.md:172-184, scenerf.py:29-65) driven by the fused
 jit(shard_map) train step; the flagship uses bf16 compute + n_sources=4 +
-encoder remat (quality-validated: the 3-seed x 5-arm 200-step table shows
+encoder remat + fully-unrolled source loop (source_unroll=4) (quality-validated: the 3-seed x 5-arm 200-step table shows
 per-STEP quality flat across 1/2/4 sources and bf16 == f32 at every count,
 and the 1k-step long-horizon runs show 4-src matching 2-src to the fixture's
 val floor -- docs/PERF.md round 4; remat arms are bit-identical math).
@@ -121,6 +125,29 @@ def peak_flops_per_sec() -> float:
     return 197e12
 
 
+def program_flops(cfg):
+    """Compiled-program FLOPs of the train step (persistent-cache hit when
+    the config was benched before; used for the rolled-loop model-FLOPs
+    denominator of unrolled rungs)."""
+    import jax
+
+    from scenerf_tpu.data.synthetic import make_batch
+    from scenerf_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenerf_tpu.train import Trainer
+
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=1000,
+                      with_depth_eval=False)
+    state = trainer.create_state(jax.random.PRNGKey(0))
+    batch = shard_batch(make_batch(cfg, batch_size=1), mesh)
+    maps = trainer._sphere_maps_for(batch)
+    cost = trainer._train_step.lower(
+        state, batch, jax.random.PRNGKey(1), maps).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0)) or None
+
+
 def measure(cfg, steps=5):
     """(serial_step_s, pipelined_step_s, program_flops) of the train step."""
     import jax
@@ -196,6 +223,14 @@ def main():
     flagship = C.kitti(n_sources=4, ray_chunk=1200, n_gt_depth=256,
                        compute_dtype="bfloat16", remat_encoder=True,
                        remat_decoder=False)
+    # source_unroll=4 fully unrolls the per-source lax.scan: XLA then
+    # overlaps one source's serialized featurize-backward scatters with
+    # another source's MXU work (the round-5 trace's top finding), at the
+    # cost of duplicated recompute (program 21.08 TF / 372.7 GB vs 13.20 TF
+    # / 238.3 GB rolled) -- measured 752.2 vs 789.1 ms serial (+4.9%).
+    # Same math as the rolled loop (grad-parity test in tests/test_model.py);
+    # unroll=2 measured SLOWER (813.9 ms) -- overlap only pays at full width.
+    flagship_u = flagship.replace(source_unroll=4)
     flagship2 = flagship.replace(n_sources=2, remat_encoder=False)
     single = flagship2.replace(n_sources=1)
     half = single.replace(img_size=(612, 186), n_rays=1200, ray_chunk=1200,
@@ -203,6 +238,7 @@ def main():
     half = half.replace(sphere=half.sphere.__class__(width=752, height=226))
 
     ladder = [
+        ("kitti-b7-full-bf16-4src-encremat-unroll", flagship_u),
         ("kitti-b7-full-bf16-4src-encremat", flagship),
         # previous flagship (encoder+decoder remat), first step-down rung
         ("kitti-b7-full-bf16-4src-remat", flagship.replace(remat_decoder=None)),
@@ -241,6 +277,18 @@ def main():
         }
         if flops:
             result["mfu"] = round(flops / step_s / peak_flops_per_sec(), 4)
+        # unrolled rungs execute duplicated recompute FLOPs (see the rung
+        # comment), so program-FLOPs "mfu" overstates useful work there;
+        # report the rolled program's FLOPs over the same step time as the
+        # honest model-work utilization (cached compile, costs seconds)
+        if flops and getattr(cfg, "source_unroll", 1) > 1:
+            try:
+                f1 = program_flops(cfg.replace(source_unroll=1))
+                if f1:
+                    result["mfu_model"] = round(
+                        f1 / step_s / peak_flops_per_sec(), 4)
+            except Exception:
+                pass
 
         # the 1-source variant of the same rung, for apples-to-apples with
         # the 1-source baseline estimate (skipped if it fails; cached compile)
