@@ -174,7 +174,13 @@ def main():
         # 4-source arms: the config default (config.py n_sources=4) -- the
         # encoder amortizes over 2x the supervision rays of the 2-src flagship
         "bf16x4": make_cfg("bfloat16", 4),
-        "f32x4": make_cfg("float32", 4).replace(remat_encoder=True),
+        # f32 doubles activation HBM: the 4-source f32 train program does not
+        # fit with encoder-only remat (round-5 run: compile RESOURCE_EXHAUSTED
+        # after a green step-0 val -- the co-resident val program's static
+        # temps make it worse). Like the 8-src arms it needs enc+dec remat and
+        # the fused single-program val; remat placement is bit-identical math.
+        "f32x4": make_cfg("float32", 4).replace(remat_encoder=True,
+                                                remat_decoder=True),
         # 8-source arms: the render is a lax.scan over sources (constant
         # memory), so the only cost of more sources is step time -- probe
         # the far end of the encoder-amortization curve. The 8-src train
@@ -196,7 +202,7 @@ def main():
             # programs OOM at 8 sources; see run_one)
             results[k] = run_one(k, grid[tag], args.root, args.prep,
                                  args.steps, args.val_every, seed=seed,
-                                 fused=tag.endswith("x8"))
+                                 fused=tag.endswith("x8") or tag == "f32x4")
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
             print(f"wrote {args.out}", flush=True)
